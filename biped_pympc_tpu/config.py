@@ -1,0 +1,60 @@
+"""Configuration dataclasses.
+
+Mirrors the reference's `ControllerConf` / `MPCConf`
+(`/root/reference/biped_pympc/configuration/configuration.py:6-70`) with
+jax-friendly, hashable (static) fields. Weight vectors are tuples so config
+objects can be closed over by jitted functions.
+
+Note on Q: the reference's default Q carries 13 entries, a leftover from the
+deprecated 13-state (gravity-augmented) formulation in
+`utils/dynamics_utils.py`; its QP consumes only the first 12
+(`srbd_constraints.py:54`, num_x = 12). We accept 13 and truncate.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Literal, Tuple
+
+_DEFAULT_Q = (150.0, 150.0, 250.0, 100.0, 100.0, 250.0, 1.0, 1.0, 5.0, 10.0, 10.0, 1.0)
+_DEFAULT_R = (1e-5, 1e-5, 1e-5, 1e-5, 1e-5, 1e-5, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4)
+
+
+@dataclass(frozen=True)
+class ControllerConf:
+    """(`configuration.py:6-20`)."""
+
+    ssp_durations: int = 5
+    dsp_durations: int = 0
+    swing_height: float = 0.1
+    swing_reference_frame: Literal["world", "base"] = "base"
+
+
+@dataclass(frozen=True)
+class MPCConf:
+    """(`configuration.py:22-57`)."""
+
+    dt: float = 0.001
+    dt_mpc: float = 0.025
+    horizon_length: int = 10
+    decimation: int = 10
+    Q: Tuple[float, ...] = _DEFAULT_Q
+    R: Tuple[float, ...] = _DEFAULT_R
+    solver: Literal["tridiag", "dense"] = "tridiag"
+    robot: Literal["HECTOR", "T1"] = "HECTOR"
+    # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
+    # `mpc_controller_cusadi.py:28,144`).
+    newton_iterations: int = 20
+    solver_beta: float = 1e-8
+    solver_delta: float = 1e-8
+    solver_refine_steps: int = 0
+    # Euler-rate convention; see `models/srbd.py` docstring. "rt_omega"
+    # matches the shipped CUDA path, "r_omega" the CPU CasADi source.
+    euler_rate_mode: Literal["rt_omega", "r_omega"] = "rt_omega"
+    print_solve_time: bool = False
+
+    def __post_init__(self):
+        if len(self.Q) == 13:  # tolerate the reference's 13-entry default
+            object.__setattr__(self, "Q", tuple(self.Q[:12]))
+        assert len(self.Q) == 12, f"Q must have 12 weights, got {len(self.Q)}"
+        assert len(self.R) == 12, f"R must have 12 weights, got {len(self.R)}"

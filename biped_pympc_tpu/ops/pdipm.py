@@ -1,0 +1,398 @@
+"""Batched fixed-iteration Mehrotra PDIPM for the SRBD-MPC QP — pure JAX.
+
+TPU-native replacement for the reference's CasADi-unrolled solver
+(`/root/reference/biped_pympc/casadi/sparse_pdipm_solver.py:357-534`) and its
+generated CUDA kernel. Same update rule, different linear algebra:
+
+The reference factors the full (nz + 2*ni + ne)-dim augmented KKT with pivoted
+LDL per Newton step. Here the two diagonal rows (slacks s, ineq duals z) are
+eliminated *analytically* — they are elementwise — leaving the symmetric
+quasi-definite reduced system
+
+    [[H + beta I + G^T W^-1 G,  A^T],        W = Sigma^-1 + delta I,
+     [A,                     -delta I]]      Sigma = S^-1 Z + delta I
+
+of dim nz + ne (380 for horizon 10 vs the reference's 700). This block
+elimination is algebraically exact for the same regularized system, so iterates
+match the reference to roundoff (validated against `ops/reference_pdipm.py`).
+
+Two interchangeable factorizations:
+  * "dense":   batched LU of the reduced matrix (jax.scipy lu_factor/lu_solve).
+  * "tridiag": block-tridiagonal LDL-style Thomas sweep over the stage
+               structure — the per-stage variable ordering
+               [u_i, nu_i, y_i, x_{i+1}] makes the reduced KKT block-tridiag
+               with a *constant* off-diagonal coupling (-Ad between x_i and the
+               stage-i dynamics rows), i.e. a Riccati-like O(T) factorization
+               instead of O((T n)^3).
+
+Everything is written per-env and `jax.vmap`-ed over the environment batch; the
+batch axis shards over the device mesh (see `parallel/mesh.py`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from biped_pympc_tpu.ops import qp as qps
+from biped_pympc_tpu.ops.qp import NU, NX, N_INEQ_PER_STAGE, N_MX_PER_STAGE, StageQP
+
+# Stage block layout for the tridiag backend: [u(12), nu(2), y(12), x_next(12)].
+_SB_U = 0
+_SB_NU = NU
+_SB_Y = NU + N_MX_PER_STAGE
+_SB_X = NU + N_MX_PER_STAGE + NX
+SB = NU + N_MX_PER_STAGE + 2 * NX  # 38
+
+# Augmented layout: [u(12), z(16), nu(2), y(12), x_next(12)] — keeps the
+# inequality duals in the stage block instead of condensing G^T W^-1 G,
+# avoiding the normal-equations conditioning squaring (critical in f32).
+_SA_U = 0
+_SA_Z = NU
+_SA_NU = NU + N_INEQ_PER_STAGE
+_SA_Y = _SA_NU + N_MX_PER_STAGE
+_SA_X = _SA_Y + NX
+SA = NU + N_INEQ_PER_STAGE + N_MX_PER_STAGE + 2 * NX  # 54
+
+
+class PdipmOptions(NamedTuple):
+    """Solver constants, defaults per the reference (`sparse_pdipm_solver.py`)."""
+
+    iterations: int = 20  # 4 outer x 5 fused (`mpc_controller_cusadi.py:28,144`)
+    beta: float = 1e-8  # primal regularization (`:419`)
+    delta: float = 1e-8  # dual regularization (`:416`)
+    frac_to_boundary: float = 0.99  # (`:461`)
+    alpha_min: float = 1e-12  # (`:466-467`)
+    sz_floor: float = 1e-8  # slack/dual clamp (`:511-515`)
+    backend: str = "tridiag"  # "tridiag" | "dense"
+    refine_steps: int = 0  # iterative-refinement passes on the reduced solve
+    # (0 suffices in f64; use 1-2 on the f32 TPU path to recover accuracy
+    # lost to the ill-conditioned late-iteration KKT)
+    sigma_cap: float = 0.0  # if > 0, cap the complementarity scaling z/s at
+    # this value. Bounds the reduced-KKT condition number for the f32 TPU
+    # path; active constraints are then enforced to ~1/sigma_cap relative
+    # feasibility (proximal smoothing). 0 disables (exact reference rule).
+
+
+class PdipmState(NamedTuple):
+    x: jnp.ndarray  # (nz,)
+    s: jnp.ndarray  # (ni,)
+    z: jnp.ndarray  # (ni,)
+    y: jnp.ndarray  # (ne,)
+
+
+class PdipmResult(NamedTuple):
+    x: jnp.ndarray
+    s: jnp.ndarray
+    z: jnp.ndarray
+    y: jnp.ndarray
+    residuals: jnp.ndarray  # [||rx||, ||rs||, ||re||, mu] last iteration
+
+
+def init_state(qp: StageQP) -> PdipmState:
+    """x=0, s=max(d - Gx, 1)=max(d, 1), z=1, y=1 (`mpc_controller_cusadi.py:138-141`)."""
+    dtype = qp.f.dtype
+    d = qps.d_vec(qp)
+    return PdipmState(
+        x=jnp.zeros(qp.nz, dtype=dtype),
+        s=jnp.maximum(d, 1.0),
+        z=jnp.ones(qp.n_ineq, dtype=dtype),
+        y=jnp.ones(qp.n_eq, dtype=dtype),
+    )
+
+
+def _frac_to_boundary(v, dv, opts: PdipmOptions):
+    cand = jnp.where(dv < 0, -v / jnp.where(dv < 0, dv, -1.0), 1.0)
+    alpha = jnp.minimum(1.0, opts.frac_to_boundary * jnp.min(cand))
+    return jnp.maximum(alpha, opts.alpha_min)
+
+
+# ---------------------------------------------------------------------------
+# Reduced-system factorizations.
+# ---------------------------------------------------------------------------
+
+def _stage_hessians(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
+    """Per-stage u-block Hessian R~ = diag(R) + beta + G_u^T diag(w_inv) G_u.
+
+    w_inv: (T, 16). Returns (T, 12, 12).
+    """
+    gu = qp.g_u
+    gtwg = jnp.einsum("ki,tk,kj->tij", gu, w_inv, gu)
+    return gtwg + jnp.diag(qp.r_diag + opts.beta)[None]
+
+
+def _factor_dense(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
+    """Dense LU of the reduced KKT. Variable order [x (12T), u (12T), y (ne)]."""
+    T = qp.horizon
+    nz, ne = qp.nz, qp.n_eq
+    dim = nz + ne
+    dtype = qp.f.dtype
+
+    m = jnp.zeros((dim, dim), dtype=dtype)
+    hd = qps.h_diag(qp) + opts.beta
+    m = m + jnp.diag(jnp.concatenate([hd, jnp.full((ne,), -opts.delta, dtype=dtype)]))
+
+    # u-block coupling G^T W^-1 G (per stage, block diagonal).
+    ru = _stage_hessians(qp, w_inv, opts) - jnp.diag(qp.r_diag + opts.beta)[None]
+    ublock = jax.scipy.linalg.block_diag(*[ru[i] for i in range(T)])
+    m = m.at[NX * T: nz, NX * T: nz].add(ublock)
+
+    # A blocks (constant within a solve).
+    a_dense = _dense_a(qp)
+    m = m.at[nz:, :nz].set(a_dense)
+    m = m.at[:nz, nz:].set(a_dense.T)
+
+    lu, piv = jax.scipy.linalg.lu_factor(m)
+    return (lu, piv)
+
+
+def _solve_dense(qp: StageQP, factors, r1_hat, r4):
+    lu, piv = factors
+    sol = jax.scipy.linalg.lu_solve((lu, piv), jnp.concatenate([r1_hat, r4]))
+    return sol[: qp.nz], sol[qp.nz:]
+
+
+def _dense_a(qp: StageQP) -> jnp.ndarray:
+    """Dense A (ne, nz) in reference row order; built from the stage blocks."""
+    T = qp.horizon
+    Ad, Bd, _ = qp.dyn
+    dtype = Ad.dtype
+    a = jnp.zeros((qp.n_eq, qp.nz), dtype=dtype)
+    eye = jnp.eye(NX, dtype=dtype)
+    for i in range(T):
+        r = NX * i
+        a = a.at[r: r + NX, NX * i: NX * (i + 1)].set(eye)
+        if i >= 1:
+            a = a.at[r: r + NX, NX * (i - 1): NX * i].set(-Ad)
+        a = a.at[r: r + NX, NX * T + NU * i: NX * T + NU * (i + 1)].set(-Bd)
+    for i in range(T):
+        a = a.at[NX * T + 2 * i, NX * T + NU * i + 6].set(1.0)
+        a = a.at[NX * T + 2 * i + 1, NX * T + NU * i + 9].set(1.0)
+    return a
+
+
+# --- Block-tridiagonal (Riccati-like) backend ------------------------------
+
+def _stage_diag_blocks(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
+    """(T, 38, 38) stage-diagonal blocks D_i of the reduced KKT.
+
+    Stage variables s_i = [u_i, nu_i, y_i, x_{i+1}]:
+      D[u,u]   = diag(R)+beta + G_u^T W_i^-1 G_u
+      D[nu,u]  = E (rows e_6, e_9 — the Mx selector, `srbd_constraints.py:129-135`)
+      D[nu,nu] = -delta I
+      D[y,u]   = -Bd,  D[y,y] = -delta I,  D[y,x] = I
+      D[x,x]   = diag(Q)+beta
+    Off-diagonal coupling (constant across stages): C has -Ad at (y-rows of
+    stage i) x (x-cols of stage i-1).
+    """
+    T = qp.horizon
+    dtype = qp.f.dtype
+    Ad, Bd, _ = qp.dyn
+
+    ru = _stage_hessians(qp, w_inv, opts)  # (T, 12, 12)
+
+    d = jnp.zeros((T, SB, SB), dtype=dtype)
+    d = d.at[:, _SB_U:_SB_NU, _SB_U:_SB_NU].set(ru)
+    e = jnp.zeros((N_MX_PER_STAGE, NU), dtype=dtype).at[0, 6].set(1.0).at[1, 9].set(1.0)
+    d = d.at[:, _SB_NU:_SB_Y, _SB_U:_SB_NU].set(e[None])
+    d = d.at[:, _SB_U:_SB_NU, _SB_NU:_SB_Y].set(e.T[None])
+    d = d.at[:, _SB_NU:_SB_Y, _SB_NU:_SB_Y].set(
+        -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
+    )
+    d = d.at[:, _SB_Y:_SB_X, _SB_U:_SB_NU].set(-Bd[None])
+    d = d.at[:, _SB_U:_SB_NU, _SB_Y:_SB_X].set(-Bd.T[None])
+    d = d.at[:, _SB_Y:_SB_X, _SB_Y:_SB_X].set(
+        -opts.delta * jnp.eye(NX, dtype=dtype)[None]
+    )
+    eye12 = jnp.eye(NX, dtype=dtype)
+    d = d.at[:, _SB_Y:_SB_X, _SB_X:].set(eye12[None])
+    d = d.at[:, _SB_X:, _SB_Y:_SB_X].set(eye12[None])
+    d = d.at[:, _SB_X:, _SB_X:].set(jnp.diag(qp.q_diag + opts.beta)[None])
+    return d
+
+
+def _factor_tridiag(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
+    """Forward block-Thomas sweep: S_0 = D_0, S_i = D_i - C S_{i-1}^-1 C^T.
+
+    Because C = P_y (-Ad) P_x^T, the correction only touches the (y, y)
+    sub-block: S_i[y, y] -= Ad (S_{i-1}^-1)[x, x] Ad^T. We store S_i^-1
+    (T, 38, 38); 38x38 inverses are exact block elimination of the same
+    regularized system the reference LDL-factors, so no pivoting is needed
+    (symmetric quasi-definite structure).
+    """
+    Ad = qp.dyn.A
+    d = _stage_diag_blocks(qp, w_inv, opts)
+
+    def step(m_prev_xx, d_i):
+        s_i = d_i.at[_SB_Y:_SB_X, _SB_Y:_SB_X].add(-Ad @ m_prev_xx @ Ad.T)
+        s_inv = jnp.linalg.inv(s_i)
+        return s_inv[_SB_X:, _SB_X:], s_inv
+
+    zero = jnp.zeros((NX, NX), dtype=d.dtype)
+    # First stage has no predecessor: seed the scan with a zero xx-inverse.
+    _, s_invs = jax.lax.scan(step, zero, d)
+    return s_invs  # (T, 38, 38)
+
+
+def _canonical_to_stage(qp: StageQP, r1: jnp.ndarray, r4: jnp.ndarray):
+    """Pack rhs [x; u] (nz) and y (ne) into (T, 38) stage vectors."""
+    T = qp.horizon
+    rx = r1[: NX * T].reshape(T, NX)
+    ru = r1[NX * T:].reshape(T, NU)
+    ry = r4[: NX * T].reshape(T, NX)
+    rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE)
+    return jnp.concatenate([ru, rnu, ry, rx], axis=1)
+
+
+def _stage_to_canonical(qp: StageQP, w: jnp.ndarray):
+    """Unpack (T, 38) stage solution to (dxz (nz,), dy (ne,))."""
+    T = qp.horizon
+    du = w[:, _SB_U:_SB_NU]
+    dnu = w[:, _SB_NU:_SB_Y]
+    dy = w[:, _SB_Y:_SB_X]
+    dx = w[:, _SB_X:]
+    dxz = jnp.concatenate([dx.reshape(-1), du.reshape(-1)])
+    dyv = jnp.concatenate([dy.reshape(-1), dnu.reshape(-1)])
+    return dxz, dyv
+
+
+def _solve_tridiag(qp: StageQP, s_invs, r1_hat, r4):
+    """Two-sweep block-Thomas solve with the stored stage inverses."""
+    Ad = qp.dyn.A
+    r = _canonical_to_stage(qp, r1_hat, r4)  # (T, 38)
+
+    # Forward: g_i = r_i - C S_{i-1}^-1 g_{i-1}; only y-rows are touched:
+    # g_i[y] += Ad (S_{i-1}^-1 g_{i-1})[x].
+    def fwd(carry, inp):
+        s_inv_prev, g_prev = carry
+        r_i, s_inv_i = inp
+        sol_prev = s_inv_prev @ g_prev
+        g_i = r_i.at[_SB_Y:_SB_X].add(Ad @ sol_prev[_SB_X:])
+        return (s_inv_i, g_i), g_i
+
+    dtype = r.dtype
+    zero_inv = jnp.zeros((SB, SB), dtype=dtype)
+    zero_g = jnp.zeros((SB,), dtype=dtype)
+    (_, _), g = jax.lax.scan(fwd, (zero_inv, zero_g), (r, s_invs))
+
+    # Backward: w_T = S_T^-1 g_T; w_i = S_i^-1 (g_i + C^T-correction):
+    # (g_i)[x] += Ad^T w_{i+1}[y] with sign: C^T w has -Ad^T at x-rows, and we
+    # subtract it, so add +Ad^T w_{i+1}[y].
+    def bwd(w_next, inp):
+        g_i, s_inv_i = inp
+        g_mod = g_i.at[_SB_X:].add(Ad.T @ w_next[_SB_Y:_SB_X])
+        w_i = s_inv_i @ g_mod
+        return w_i, w_i
+
+    _, w_rev = jax.lax.scan(bwd, zero_g, (g, s_invs), reverse=True)
+    return _stage_to_canonical(qp, w_rev)
+
+
+# ---------------------------------------------------------------------------
+# Main iteration.
+# ---------------------------------------------------------------------------
+
+def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
+    """One Mehrotra predictor-corrector step (reference rule, reduced solve)."""
+    x, s, z, y = st
+    ni = qp.n_ineq
+    hd = qps.h_diag(qp)
+    d = qps.d_vec(qp)
+    b = qps.b_vec(qp)
+
+    rx = hd * x + qp.f + qps.gT_matvec(qp, z) + qps.aT_matvec(qp, y)
+    re = qps.a_matvec(qp, x) - b
+    rs = qps.g_matvec(qp, x) + s - d
+    mu = jnp.dot(s, z) / ni
+
+    sigma_d = z / s + opts.delta  # Sigma diagonal
+    if opts.sigma_cap > 0.0:
+        sigma_d = jnp.minimum(sigma_d, opts.sigma_cap)
+    w_inv = sigma_d / (1.0 + opts.delta * sigma_d)  # (Sigma^-1 + delta)^-1
+
+    if opts.backend == "dense":
+        factors = _factor_dense(qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts)
+        solve = functools.partial(_solve_dense, qp, factors)
+    else:
+        factors = _factor_tridiag(
+            qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
+        )
+        solve = functools.partial(_solve_tridiag, qp, factors)
+
+    def reduced_mv(dx, dy):
+        """Matvec of the reduced KKT [[H+bI+G^T W^-1 G, A^T], [A, -dI]]."""
+        m1 = (hd + opts.beta) * dx + qps.gT_matvec(
+            qp, w_inv * qps.g_matvec(qp, dx)
+        ) + qps.aT_matvec(qp, dy)
+        m2 = qps.a_matvec(qp, dx) - opts.delta * dy
+        return m1, m2
+
+    def reduced_solve(r1, r2, r3, r4):
+        r1_hat = r1 + qps.gT_matvec(qp, w_inv * (r3 - r2 / sigma_d))
+        dx, dy = solve(r1_hat, r4)
+        for _ in range(opts.refine_steps):
+            m1, m2 = reduced_mv(dx, dy)
+            ex, ey = solve(r1_hat - m1, r4 - m2)
+            dx, dy = dx + ex, dy + ey
+        dz = w_inv * (qps.g_matvec(qp, dx) + r2 / sigma_d - r3)
+        ds = (r2 - dz) / sigma_d
+        return dx, ds, dz, dy
+
+    zeros_z = jnp.zeros_like(rx)
+    zeros_i = jnp.zeros_like(s)
+    zeros_e = jnp.zeros_like(re)
+
+    # Affine (predictor) direction.
+    dx_a, ds_a, dz_a, dy_a = reduced_solve(-rx, -(s * z) / s, -rs, -re)
+    alpha_ap = _frac_to_boundary(s, ds_a, opts)
+    alpha_ad = _frac_to_boundary(z, dz_a, opts)
+
+    mu_aff = jnp.dot(s + alpha_ap * ds_a, z + alpha_ad * dz_a) / ni
+    sigma = (mu_aff / mu) ** 3
+
+    # Corrector direction.
+    rc = s * z + ds_a * dz_a - sigma * mu
+    dx_c, ds_c, dz_c, dy_c = reduced_solve(zeros_z, -rc / s, zeros_i, zeros_e)
+
+    dx, ds, dz, dy = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c, dy_a + dy_c
+    alpha_p = _frac_to_boundary(s, ds, opts)
+    alpha_d = _frac_to_boundary(z, dz, opts)
+
+    x = x + alpha_p * dx
+    s = jnp.maximum(s + alpha_p * ds, opts.sz_floor)
+    z = jnp.maximum(z + alpha_d * dz, opts.sz_floor)
+    y = y + alpha_d * dy
+
+    residuals = jnp.stack(
+        [
+            jnp.linalg.norm(rx),
+            jnp.linalg.norm(rs),
+            jnp.linalg.norm(re),
+            jnp.dot(s, z) / ni,
+        ]
+    )
+    return PdipmState(x, s, z, y), residuals
+
+
+def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
+          state: PdipmState | None = None) -> PdipmResult:
+    """Run `opts.iterations` fixed Newton steps on a single env's QP.
+
+    vmap over a batch of StageQP pytrees for the batched solver. The loop is a
+    `lax.fori_loop` — compiled once, no per-iteration dispatch.
+    """
+    if state is None:
+        state = init_state(qp)
+
+    def body(_, carry):
+        st, _ = carry
+        return _iteration(qp, st, opts)
+
+    residuals0 = jnp.zeros(4, dtype=qp.f.dtype)
+    st, residuals = jax.lax.fori_loop(
+        0, opts.iterations, body, (state, residuals0)
+    )
+    return PdipmResult(st.x, st.s, st.z, st.y, residuals)

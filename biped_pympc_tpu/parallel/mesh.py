@@ -1,0 +1,86 @@
+"""Multi-chip scaling: env-batch sharding over a TPU device mesh.
+
+The reference is single-process single-GPU (`SURVEY.md` section 2: no
+distributed backend exists to port). The TPU-native scaling design, per
+BASELINE.json: the environment batch is the parallel axis — shard it across
+every chip of a slice with `jax.sharding`, keep all per-env state resident
+(sharded the same way), and reduce only scalar metrics with `psum`-style
+collectives over ICI. DCN is touched only by the host fan-out that jax
+runtime already performs for multi-host meshes.
+
+Because each env's MPC solve is independent, the sharded step has zero
+inter-chip communication in the hot path — the collectives appear only in
+`metrics_summary`, so scaling is linear by construction and the design goal
+is purely per-chip throughput.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or given) devices with the env-batch axis."""
+    if devices is None:
+        devices = jax.devices()
+    import numpy as np
+
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (env-batch) axis; replicate nothing else."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_state(state: Any, mesh: Mesh) -> Any:
+    """Place every leaf of a controller-state pytree with its batch axis
+    sharded across the mesh."""
+    sharding = batch_sharding(mesh)
+
+    def place(x):
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(place, state)
+
+
+def sharded_step(step_fn, mesh: Mesh):
+    """Wrap a batched pure step (state, *args) -> out so inputs/outputs keep
+    batch-axis sharding. jit + sharding constraints: XLA partitions the whole
+    step SPMD across the mesh; no collectives are introduced because the
+    computation is element-wise in the batch axis."""
+    sharding = batch_sharding(mesh)
+
+    @functools.wraps(step_fn)
+    def wrapped(state, *args):
+        state = jax.lax.with_sharding_constraint(state, sharding)
+        return step_fn(state, *args)
+
+    return jax.jit(wrapped)
+
+
+def metrics_summary(values: jnp.ndarray, mesh: Mesh):
+    """Global scalar metrics over a sharded (B,) array — mean/max/p50.
+
+    The only cross-chip communication in the system: an ICI all-reduce
+    materialized by XLA from these reductions.
+    """
+    sharding = batch_sharding(mesh)
+
+    @jax.jit
+    def f(v):
+        v = jax.lax.with_sharding_constraint(v, sharding)
+        return {
+            "mean": jnp.mean(v),
+            "max": jnp.max(v),
+            "p50": jnp.median(v),
+        }
+
+    return f(values)

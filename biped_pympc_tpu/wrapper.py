@@ -1,0 +1,213 @@
+"""RL-facing `MPCController` facade — the reference's public API, TPU-native.
+
+Mirrors `/root/reference/biped_pympc/mpc_wrapper.py:4-205` method-for-method
+and property-for-property. The class is a thin stateful shell around the
+functional `BipedControllerCore`: it owns a `ControllerState` pytree and
+forwards every call to a jitted batched pure function, so an RL environment
+written against the reference API can switch by replacing torch tensors with
+jax arrays (numpy arrays are accepted and converted).
+
+    ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=4096, gait_id=2)
+    ctrl.set_command(twist, height)
+    ctrl.update_state(obs)          # every sim step (1 kHz)
+    if step % cfg.decimation == 0:
+        ctrl.run_mpc()              # 100 Hz batched QP solve
+    ctrl.run_lowlevel()
+    tau = ctrl.get_action()
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from biped_pympc_tpu.config import ControllerConf, MPCConf
+from biped_pympc_tpu.control import gait, swing
+from biped_pympc_tpu.control.controller import BipedControllerCore, ControllerState
+
+
+class MPCController:
+    """Batched biped MPC controller (`mpc_wrapper.py:4-12`)."""
+
+    def __init__(self, cfg: ControllerConf, mpc_cfg: MPCConf, num_envs: int,
+                 gait_id: int = 1, dtype=jnp.float32, device=None):
+        self.num_envs = num_envs
+        self.core = BipedControllerCore(cfg, mpc_cfg, gait_id=gait_id, dtype=dtype)
+        self.state: ControllerState = self.core.init_state(num_envs)
+        if device is not None:
+            self.state = jax.device_put(self.state, device)
+        self._last_mpc = None
+
+    # ------------------------------------------------------------------
+    # operations (`mpc_wrapper.py:17-43`)
+    # ------------------------------------------------------------------
+
+    def set_command(self, twist, height) -> None:
+        self.state = self.core.set_command(
+            self.state, jnp.asarray(twist), jnp.asarray(height)
+        )
+
+    def update_state(self, state_vec) -> None:
+        self.state = self.core.ingest_state(self.state, jnp.asarray(state_vec))
+
+    def run_mpc(self) -> None:
+        self.state, self._last_mpc = self.core.run_mpc(self.state)
+
+    def run_lowlevel(self) -> None:
+        self.state = self.core.run_lowlevel(self.state)
+
+    def get_action(self) -> jnp.ndarray:
+        return self.core.joint_torque(self.state)
+
+    def reset(self, env_ids) -> None:
+        """env_ids: int index array (reference convention) or (B,) bool mask."""
+        env_ids = jnp.asarray(env_ids)
+        if env_ids.dtype == bool:
+            mask = env_ids
+        else:
+            mask = jnp.zeros(self.num_envs, dtype=bool).at[env_ids].set(True)
+        self.state = self.core.reset(self.state, mask)
+
+    # ------------------------------------------------------------------
+    # DRL interface (`mpc_wrapper.py:48-67`)
+    # ------------------------------------------------------------------
+
+    def update_mpc_sampling_time(self, dt_mpc) -> None:
+        self.state = self.state._replace(dt_mpc=jnp.asarray(dt_mpc))
+
+    def set_swing_parameters(self, foot_height, cp1, cp2) -> None:
+        self.state = self.state._replace(
+            foot_height=jnp.asarray(foot_height),
+            cp1=jnp.asarray(cp1),
+            cp2=jnp.asarray(cp2),
+        )
+
+    def set_srbd_accel(self, residual_lin_accel, residual_ang_accel) -> None:
+        self.state = self.state._replace(
+            residual_lin_accel=jnp.asarray(residual_lin_accel),
+            residual_ang_accel=jnp.asarray(residual_ang_accel),
+        )
+
+    def set_srbd_residual(self, A_residual, B_residual) -> None:
+        raise NotImplementedError  # parity: `mpc_wrapper.py:66-67`
+
+    # ------------------------------------------------------------------
+    # properties (`mpc_wrapper.py:72-205`)
+    # ------------------------------------------------------------------
+
+    @property
+    def ground_reaction_wrench(self) -> jnp.ndarray:
+        """(B, 2, 6) body-frame feed-forward wrench (`mpc_wrapper.py:72-77`)."""
+        return self.state.leg_cmd.wrench_ff
+
+    @property
+    def centroidal_accel(self) -> jnp.ndarray:
+        """(B, 6) [linear; angular] acceleration from the commanded wrench
+        (`mpc_wrapper.py:79-88`)."""
+        w = self.state.leg_cmd.wrench_ff  # (B, 2, 6)
+        robot = self.core.robot
+        lin = jnp.sum(w[:, :, :3], axis=1) / robot.mass
+        rot = self.state.est.rotation_body
+        i_world = jnp.einsum(
+            "bij,jk,blk->bil", rot, jnp.asarray(robot.i_body, w.dtype), rot
+        )
+        ang = jnp.linalg.solve(i_world, jnp.sum(w[:, :, 3:], axis=1)[..., None])[..., 0]
+        return jnp.concatenate([lin, ang], axis=1)
+
+    @property
+    def contact_state(self) -> jnp.ndarray:
+        """(B, 2) 1 while in stance (`mpc_wrapper.py:90-94`)."""
+        return (self.state.contact_phase != -1).astype(self.state.gait_phase.dtype)
+
+    @property
+    def contact_phase(self) -> jnp.ndarray:
+        """(B, 2) stance sub-phase, 0 while swinging (`mpc_wrapper.py:96-100`)."""
+        cp = self.state.contact_phase
+        return jnp.where(cp == -1, 0.0, cp)
+
+    @property
+    def swing_state(self) -> jnp.ndarray:
+        return (self.state.swing_phase != -1).astype(self.state.gait_phase.dtype)
+
+    @property
+    def swing_phase(self) -> jnp.ndarray:
+        sp = self.state.swing_phase
+        return jnp.where(sp == -1, 0.0, sp)
+
+    @property
+    def foot_placement(self) -> jnp.ndarray:
+        """(B, 2, 3) planned world-frame footholds (`mpc_wrapper.py:114-119`)."""
+        return self.state.swing_state.foot_placement_w
+
+    @property
+    def foot_placement_b(self) -> jnp.ndarray:
+        return self.state.swing_state.foot_placement_b
+
+    @property
+    def ref_foot_pos_b(self) -> jnp.ndarray:
+        return self.state.leg_cmd.p_des
+
+    @property
+    def ref_foot_vel_b(self) -> jnp.ndarray:
+        return self.state.leg_cmd.v_des
+
+    @property
+    def foot_pos_b(self) -> jnp.ndarray:
+        return self.state.leg_data.p
+
+    @property
+    def foot_vel_b(self) -> jnp.ndarray:
+        return self.state.leg_data.v
+
+    @property
+    def mpc_cost(self) -> jnp.ndarray:
+        return self.state.mpc_cost
+
+    @property
+    def position_trajectory(self) -> jnp.ndarray:
+        """(B, T, 3) rpy-free position part of x_ref (`mpc_wrapper.py:155-157`
+        returns x_ref[:, :, :3]; note the reference slices the *euler* block —
+        we keep its literal behavior)."""
+        return self.state.x_ref[:, :, :3]
+
+    @property
+    def velocity_trajectory(self) -> jnp.ndarray:
+        """(B, T, 3) linear-velocity rows of x_ref. (The reference property
+        reads a nonexistent `x_ref_dot` attribute and raises,
+        `mpc_wrapper.py:159-161`; we return the meaningful quantity.)"""
+        return self.state.x_ref[:, :, 9:12]
+
+    @property
+    def swing_foot_trajectory(self) -> jnp.ndarray:
+        """(B, 10, 3) body-frame swing trajectory of the currently swinging
+        foot, sampled at 10 phases (`mpc_wrapper.py:163-205`)."""
+        st = self.state
+        num_samples = 10
+        phases = jnp.linspace(0.0, 1.0, num_samples, dtype=st.gait_phase.dtype)
+        swing_dur = jax.vmap(gait.swing_duration_sec)(st.gait_params, st.dt_mpc)
+
+        def env_traj(sw_state: swing.SwingState, dur, height, cp1, cp2, contact_bool):
+            def leg_curve(i):
+                def at_phase(ph):
+                    p, _ = swing.cubic_bezier(
+                        ph, dur[i], sw_state.p0[i],
+                        sw_state.foot_placement_b[i], height, cp1, cp2,
+                    )
+                    return p
+                return jax.vmap(at_phase)(phases)  # (10, 3)
+
+            left = leg_curve(0)
+            right = leg_curve(1)
+            return (
+                left * (1.0 - contact_bool[0]) + right * (1.0 - contact_bool[1])
+            )
+
+        return jax.vmap(env_traj)(
+            st.swing_state, swing_dur, st.foot_height, st.cp1, st.cp2,
+            st.leg_data.contact_bool,
+        )
+
+    # convenience
+    def to_numpy(self, x) -> np.ndarray:
+        return np.asarray(x)
