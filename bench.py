@@ -34,8 +34,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     iters = 5
 
-    mpc_cfg = MPCConf(newton_iterations=iters, solver="tridiag",
-                      solver_refine_steps=1)
+    mpc_cfg = MPCConf(newton_iterations=iters)  # default tridiag_aug + refine=1
     core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
     state = core.init_state(batch)
 

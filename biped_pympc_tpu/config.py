@@ -40,14 +40,14 @@ class MPCConf:
     decimation: int = 10
     Q: Tuple[float, ...] = _DEFAULT_Q
     R: Tuple[float, ...] = _DEFAULT_R
-    solver: Literal["tridiag", "dense"] = "tridiag"
+    solver: Literal["tridiag_aug", "tridiag", "dense"] = "tridiag_aug"
     robot: Literal["HECTOR", "T1"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
     # `mpc_controller_cusadi.py:28,144`).
     newton_iterations: int = 20
     solver_beta: float = 1e-8
     solver_delta: float = 1e-8
-    solver_refine_steps: int = 0
+    solver_refine_steps: int = 1
     # Euler-rate convention; see `models/srbd.py` docstring. "rt_omega"
     # matches the shipped CUDA path, "r_omega" the CPU CasADi source.
     euler_rate_mode: Literal["rt_omega", "r_omega"] = "rt_omega"

@@ -67,7 +67,7 @@ class PdipmOptions(NamedTuple):
     frac_to_boundary: float = 0.99  # (`:461`)
     alpha_min: float = 1e-12  # (`:466-467`)
     sz_floor: float = 1e-8  # slack/dual clamp (`:511-515`)
-    backend: str = "tridiag"  # "tridiag" | "dense"
+    backend: str = "tridiag"  # "tridiag" | "tridiag_aug" | "dense"
     refine_steps: int = 0  # iterative-refinement passes on the reduced solve
     # (0 suffices in f64; use 1-2 on the f32 TPU path to recover accuracy
     # lost to the ill-conditioned late-iteration KKT)
@@ -291,6 +291,110 @@ def _solve_tridiag(qp: StageQP, s_invs, r1_hat, r4):
     return _stage_to_canonical(qp, w_rev)
 
 
+# --- Augmented block-tridiagonal backend (f32-robust) ----------------------
+
+def _stage_diag_blocks_aug(qp: StageQP, w_diag: jnp.ndarray, opts: PdipmOptions):
+    """(T, 54, 54) stage blocks keeping the inequality duals z in the block.
+
+    Avoids forming G^T W^-1 G: the normal-equations condensation *squares*
+    the complementarity conditioning (w = z/s up to 1e8 gets mixed into a
+    dense 12x12 block), which is what breaks plain f32. In augmented form
+    every extreme scale sits on its own diagonal entry (-W_i), where LU with
+    partial pivoting eliminates it cleanly — f32 stays accurate.
+
+    w_diag: (T, 16) = Sigma^-1 + delta per inequality row.
+    """
+    T = qp.horizon
+    dtype = qp.f.dtype
+    Ad, Bd, _ = qp.dyn
+
+    d = jnp.zeros((T, SA, SA), dtype=dtype)
+    d = d.at[:, _SA_U:_SA_Z, _SA_U:_SA_Z].set(jnp.diag(qp.r_diag + opts.beta)[None])
+    d = d.at[:, _SA_U:_SA_Z, _SA_Z:_SA_NU].set(qp.g_u.T[None])
+    d = d.at[:, _SA_Z:_SA_NU, _SA_U:_SA_Z].set(qp.g_u[None])
+    zi = jnp.arange(N_INEQ_PER_STAGE)
+    d = d.at[:, _SA_Z + zi, _SA_Z + zi].set(-w_diag)
+    e = jnp.zeros((N_MX_PER_STAGE, NU), dtype=dtype).at[0, 6].set(1.0).at[1, 9].set(1.0)
+    d = d.at[:, _SA_NU:_SA_Y, _SA_U:_SA_Z].set(e[None])
+    d = d.at[:, _SA_U:_SA_Z, _SA_NU:_SA_Y].set(e.T[None])
+    d = d.at[:, _SA_NU:_SA_Y, _SA_NU:_SA_Y].set(
+        -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
+    )
+    d = d.at[:, _SA_Y:_SA_X, _SA_U:_SA_Z].set(-Bd[None])
+    d = d.at[:, _SA_U:_SA_Z, _SA_Y:_SA_X].set(-Bd.T[None])
+    d = d.at[:, _SA_Y:_SA_X, _SA_Y:_SA_X].set(
+        -opts.delta * jnp.eye(NX, dtype=dtype)[None]
+    )
+    eye12 = jnp.eye(NX, dtype=dtype)
+    d = d.at[:, _SA_Y:_SA_X, _SA_X:].set(eye12[None])
+    d = d.at[:, _SA_X:, _SA_Y:_SA_X].set(eye12[None])
+    d = d.at[:, _SA_X:, _SA_X:].set(jnp.diag(qp.q_diag + opts.beta)[None])
+    return d
+
+
+def _factor_tridiag_aug(qp: StageQP, w_diag: jnp.ndarray, opts: PdipmOptions):
+    """Same Riccati-like sweep as `_factor_tridiag` on the 54-wide blocks;
+    the off-diagonal coupling is still only (-Ad) between y-rows and the
+    previous stage's x-cols, so only S_i[y, y] receives a Schur correction."""
+    Ad = qp.dyn.A
+    d = _stage_diag_blocks_aug(qp, w_diag, opts)
+
+    def step(m_prev_xx, d_i):
+        s_i = d_i.at[_SA_Y:_SA_X, _SA_Y:_SA_X].add(-Ad @ m_prev_xx @ Ad.T)
+        s_inv = jnp.linalg.inv(s_i)
+        return s_inv[_SA_X:, _SA_X:], s_inv
+
+    zero = jnp.zeros((NX, NX), dtype=d.dtype)
+    _, s_invs = jax.lax.scan(step, zero, d)
+    return s_invs  # (T, 54, 54)
+
+
+def _pack_stage_aug(qp: StageQP, r1, r_z, r4):
+    """rhs -> (T, 54) stage vectors [r_u, r_z, r_nu, r_y, r_x]."""
+    T = qp.horizon
+    rx = r1[: NX * T].reshape(T, NX)
+    ru = r1[NX * T:].reshape(T, NU)
+    rz = r_z.reshape(T, N_INEQ_PER_STAGE)
+    ry = r4[: NX * T].reshape(T, NX)
+    rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE)
+    return jnp.concatenate([ru, rz, rnu, ry, rx], axis=1)
+
+
+def _solve_tridiag_aug(qp: StageQP, s_invs, r1, r_z, r4):
+    """Block-Thomas solve; returns (dx (nz,), dz (ni,), dy (ne,))."""
+    Ad = qp.dyn.A
+    r = _pack_stage_aug(qp, r1, r_z, r4)
+
+    def fwd(carry, inp):
+        s_inv_prev, g_prev = carry
+        r_i, s_inv_i = inp
+        sol_prev = s_inv_prev @ g_prev
+        g_i = r_i.at[_SA_Y:_SA_X].add(Ad @ sol_prev[_SA_X:])
+        return (s_inv_i, g_i), g_i
+
+    dtype = r.dtype
+    zero_inv = jnp.zeros((SA, SA), dtype=dtype)
+    zero_g = jnp.zeros((SA,), dtype=dtype)
+    (_, _), g = jax.lax.scan(fwd, (zero_inv, zero_g), (r, s_invs))
+
+    def bwd(w_next, inp):
+        g_i, s_inv_i = inp
+        g_mod = g_i.at[_SA_X:].add(Ad.T @ w_next[_SA_Y:_SA_X])
+        w_i = s_inv_i @ g_mod
+        return w_i, w_i
+
+    _, w = jax.lax.scan(bwd, zero_g, (g, s_invs), reverse=True)
+
+    du = w[:, _SA_U:_SA_Z]
+    dz = w[:, _SA_Z:_SA_NU]
+    dnu = w[:, _SA_NU:_SA_Y]
+    dy = w[:, _SA_Y:_SA_X]
+    dx = w[:, _SA_X:]
+    dxz = jnp.concatenate([dx.reshape(-1), du.reshape(-1)])
+    dyv = jnp.concatenate([dy.reshape(-1), dnu.reshape(-1)])
+    return dxz, dz.reshape(-1), dyv
+
+
 # ---------------------------------------------------------------------------
 # Main iteration.
 # ---------------------------------------------------------------------------
@@ -311,35 +415,59 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
     sigma_d = z / s + opts.delta  # Sigma diagonal
     if opts.sigma_cap > 0.0:
         sigma_d = jnp.minimum(sigma_d, opts.sigma_cap)
-    w_inv = sigma_d / (1.0 + opts.delta * sigma_d)  # (Sigma^-1 + delta)^-1
 
-    if opts.backend == "dense":
-        factors = _factor_dense(qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts)
-        solve = functools.partial(_solve_dense, qp, factors)
-    else:
-        factors = _factor_tridiag(
-            qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
+    if opts.backend == "tridiag_aug":
+        w_diag = 1.0 / sigma_d + opts.delta  # W = Sigma^-1 + delta
+        factors = _factor_tridiag_aug(
+            qp, w_diag.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
         )
-        solve = functools.partial(_solve_tridiag, qp, factors)
 
-    def reduced_mv(dx, dy):
-        """Matvec of the reduced KKT [[H+bI+G^T W^-1 G, A^T], [A, -dI]]."""
-        m1 = (hd + opts.beta) * dx + qps.gT_matvec(
-            qp, w_inv * qps.g_matvec(qp, dx)
-        ) + qps.aT_matvec(qp, dy)
-        m2 = qps.a_matvec(qp, dx) - opts.delta * dy
-        return m1, m2
+        def reduced_solve(r1, r2, r3, r4):
+            r_z = r3 - r2 / sigma_d
+            dx, dz, dy = _solve_tridiag_aug(qp, factors, r1, r_z, r4)
+            for _ in range(opts.refine_steps):
+                m1 = (hd + opts.beta) * dx + qps.gT_matvec(qp, dz) \
+                    + qps.aT_matvec(qp, dy)
+                mz = qps.g_matvec(qp, dx) - w_diag * dz
+                m4 = qps.a_matvec(qp, dx) - opts.delta * dy
+                ex, ez, ey = _solve_tridiag_aug(
+                    qp, factors, r1 - m1, r_z - mz, r4 - m4
+                )
+                dx, dz, dy = dx + ex, dz + ez, dy + ey
+            ds = (r2 - dz) / sigma_d
+            return dx, ds, dz, dy
 
-    def reduced_solve(r1, r2, r3, r4):
-        r1_hat = r1 + qps.gT_matvec(qp, w_inv * (r3 - r2 / sigma_d))
-        dx, dy = solve(r1_hat, r4)
-        for _ in range(opts.refine_steps):
-            m1, m2 = reduced_mv(dx, dy)
-            ex, ey = solve(r1_hat - m1, r4 - m2)
-            dx, dy = dx + ex, dy + ey
-        dz = w_inv * (qps.g_matvec(qp, dx) + r2 / sigma_d - r3)
-        ds = (r2 - dz) / sigma_d
-        return dx, ds, dz, dy
+    else:
+        w_inv = sigma_d / (1.0 + opts.delta * sigma_d)  # (Sigma^-1 + delta)^-1
+        if opts.backend == "dense":
+            factors = _factor_dense(
+                qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
+            )
+            solve = functools.partial(_solve_dense, qp, factors)
+        else:
+            factors = _factor_tridiag(
+                qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
+            )
+            solve = functools.partial(_solve_tridiag, qp, factors)
+
+        def reduced_mv(dx, dy):
+            """Matvec of the reduced KKT [[H+bI+G^T W^-1 G, A^T], [A, -dI]]."""
+            m1 = (hd + opts.beta) * dx + qps.gT_matvec(
+                qp, w_inv * qps.g_matvec(qp, dx)
+            ) + qps.aT_matvec(qp, dy)
+            m2 = qps.a_matvec(qp, dx) - opts.delta * dy
+            return m1, m2
+
+        def reduced_solve(r1, r2, r3, r4):
+            r1_hat = r1 + qps.gT_matvec(qp, w_inv * (r3 - r2 / sigma_d))
+            dx, dy = solve(r1_hat, r4)
+            for _ in range(opts.refine_steps):
+                m1, m2 = reduced_mv(dx, dy)
+                ex, ey = solve(r1_hat - m1, r4 - m2)
+                dx, dy = dx + ex, dy + ey
+            dz = w_inv * (qps.g_matvec(qp, dx) + r2 / sigma_d - r3)
+            ds = (r2 - dz) / sigma_d
+            return dx, ds, dz, dy
 
     zeros_z = jnp.zeros_like(rx)
     zeros_i = jnp.zeros_like(s)

@@ -1,0 +1,170 @@
+"""End-to-end controller tests: standing/walking behavior, reset, sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from biped_pympc_tpu import ControllerConf, MPCConf, MPCController
+from biped_pympc_tpu.models.srbd import GRAVITY
+
+
+def _hector_obs(batch, z=0.55):
+    obs = np.zeros((batch, 43), dtype=np.float32)
+    obs[:, 2] = z
+    obs[:, 3] = 1.0
+    q0 = np.array([0.0, 0.0, 0.45, -0.9, 0.45], dtype=np.float32)
+    obs[:, 13:18] = q0
+    obs[:, 18:23] = q0
+    return obs
+
+
+@pytest.fixture(scope="module")
+def standing_ctrl():
+    ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=2, gait_id=1)
+    obs = _hector_obs(2)
+    ctrl.set_command(np.zeros((2, 3), np.float32), np.full(2, 0.55, np.float32))
+    ctrl.update_state(obs)
+    ctrl.run_mpc()
+    ctrl.run_lowlevel()
+    return ctrl
+
+
+def test_standing_grf_supports_weight(standing_ctrl):
+    """Double support at rest: vertical GRFs sum to ~weight, split evenly."""
+    wrench = np.asarray(standing_ctrl.ground_reaction_wrench)  # (B, 2, 6)
+    fz = -wrench[:, :, 2]
+    weight = 13.856 * GRAVITY
+    np.testing.assert_allclose(fz.sum(axis=1), weight, rtol=0.1)
+    np.testing.assert_allclose(fz[:, 0], fz[:, 1], rtol=0.05)
+
+
+def test_standing_no_mx_moment(standing_ctrl):
+    """Mx is unactuated: zero in the commanded wrench."""
+    wrench = np.asarray(standing_ctrl.ground_reaction_wrench)
+    np.testing.assert_allclose(wrench[:, :, 3], 0.0, atol=1e-5)
+
+
+def test_standing_torques_within_limits(standing_ctrl):
+    tau = np.asarray(standing_ctrl.get_action())
+    assert tau.shape == (2, 10)
+    limit = np.array([33.5, 33.5, 33.5, 67.0, 33.5] * 2)
+    assert (np.abs(tau) <= limit + 1e-5).all()
+
+
+def test_wrapper_property_shapes(standing_ctrl):
+    c = standing_ctrl
+    assert np.asarray(c.centroidal_accel).shape == (2, 6)
+    assert np.asarray(c.contact_state).shape == (2, 2)
+    assert np.asarray(c.foot_placement).shape == (2, 2, 3)
+    assert np.asarray(c.ref_foot_pos_b).shape == (2, 2, 3)
+    assert np.asarray(c.foot_pos_b).shape == (2, 2, 3)
+    assert np.asarray(c.mpc_cost).shape == (2,)
+    assert np.asarray(c.position_trajectory).shape == (2, 10, 3)
+    assert np.asarray(c.swing_foot_trajectory).shape == (2, 10, 3)
+
+
+def test_walking_swing_progression():
+    """Walking gait: phases advance, the swing foot gets zero GRF, and the
+    swing target tracks the Raibert heuristic."""
+    B = 2
+    ctrl = MPCController(
+        ControllerConf(ssp_durations=5, dsp_durations=0),
+        MPCConf(),
+        num_envs=B,
+        gait_id=2,
+    )
+    obs = _hector_obs(B)
+    twist = np.zeros((B, 3), np.float32)
+    twist[:, 0] = 0.3
+    ctrl.set_command(twist, np.full(B, 0.55, np.float32))
+
+    swing_states = []
+    for step in range(25):
+        ctrl.update_state(obs)
+        if step % 10 == 0:
+            ctrl.run_mpc()
+        ctrl.run_lowlevel()
+        swing_states.append(np.asarray(ctrl.swing_state)[0])
+    swing_states = np.stack(swing_states)
+    # at phase 0 the right foot swings (gait layout `gait_generator.py:24-31`)
+    assert swing_states[0, 1] == 1.0 and swing_states[0, 0] == 0.0
+    # swing foot carries no force
+    wrench = np.asarray(ctrl.ground_reaction_wrench)
+    assert abs(wrench[0, 1, 2]) < 1.0  # right foot swinging
+    assert wrench[0, 0, 2] < -50.0  # left foot loaded
+    # phase advanced
+    assert float(np.asarray(ctrl.state.gait_phase)[0]) > 0.05
+
+
+def test_reset_masks_only_selected_envs():
+    B = 3
+    ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=B, gait_id=2)
+    obs = _hector_obs(B)
+    ctrl.set_command(np.zeros((B, 3), np.float32), np.full(B, 0.55, np.float32))
+    for _ in range(5):
+        ctrl.update_state(obs)
+        ctrl.run_mpc()  # clears the first_run latch
+        ctrl.run_lowlevel()
+    phase_before = np.asarray(ctrl.state.gait_phase).copy()
+    assert (phase_before > 0).all()
+    ctrl.reset(np.array([1]))
+    phase_after = np.asarray(ctrl.state.gait_phase)
+    assert phase_after[1] == 0.0
+    np.testing.assert_allclose(phase_after[[0, 2]], phase_before[[0, 2]])
+    assert bool(np.asarray(ctrl.state.mpc_mem.first_run)[1])
+    assert not bool(np.asarray(ctrl.state.mpc_mem.first_run)[0])
+
+
+def test_t1_standing():
+    B = 2
+    ctrl = MPCController(
+        ControllerConf(), MPCConf(robot="T1"), num_envs=B, gait_id=1
+    )
+    obs = np.zeros((B, 49), dtype=np.float32)
+    obs[:, 2] = 0.68
+    obs[:, 3] = 1.0
+    ctrl.set_command(np.zeros((B, 3), np.float32), np.full(B, 0.68, np.float32))
+    ctrl.update_state(obs)
+    ctrl.run_mpc()
+    ctrl.run_lowlevel()
+    tau = np.asarray(ctrl.get_action())
+    assert tau.shape == (B, 12)
+    assert np.isfinite(tau).all()
+    fz = -np.asarray(ctrl.ground_reaction_wrench)[:, :, 2].sum(axis=1)
+    np.testing.assert_allclose(fz, 40.0 * GRAVITY, rtol=0.25)
+
+
+def test_sharded_step_matches_single_device():
+    """The mesh-sharded control step equals the unsharded one."""
+    from biped_pympc_tpu.control.controller import BipedControllerCore
+    from biped_pympc_tpu.parallel import mesh as pmesh
+
+    assert jax.device_count() >= 8, "conftest sets 8 virtual CPU devices"
+    core = BipedControllerCore(ControllerConf(), MPCConf(), gait_id=2)
+    B = 16
+    state = core.init_state(B)
+    obs = jnp.asarray(_hector_obs(B))
+    twist = jnp.zeros((B, 3), jnp.float32).at[:, 0].set(0.2)
+    height = jnp.full((B,), 0.55, jnp.float32)
+
+    _, tau_single, out_single = core.control_step(state, obs, twist, height)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    sharded_state = pmesh.shard_state(core.init_state(B), mesh)
+    step = pmesh.sharded_step(
+        lambda st, o, tw, h: core.control_step(st, o, tw, h), mesh
+    )
+    _, tau_sharded, out_sharded = step(sharded_state, obs, twist, height)
+
+    np.testing.assert_allclose(
+        np.asarray(tau_sharded), np.asarray(tau_single), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sharded.wrench), np.asarray(out_single.wrench), atol=1e-4
+    )
+    summary = pmesh.metrics_summary(out_sharded.cost, mesh)
+    np.testing.assert_allclose(
+        float(summary["mean"]), float(np.mean(np.asarray(out_single.cost))),
+        rtol=1e-5,
+    )

@@ -113,21 +113,37 @@ def test_pdipm_batched_vmap_consistency():
         )
 
 
-def test_pdipm_float32_grf_accuracy():
-    """f32 + iterative refinement tracks the f64 golden GRFs.
+@pytest.mark.parametrize("backend", ["tridiag_aug"])
+def test_pdipm_aug_backend_matches_golden_f64(backend):
+    """The augmented (54-wide) stage formulation is exact block elimination
+    of the same system — f64 iterates must match the golden reference."""
+    qp = _make_qp()
+    H, f, A, b, G, d = qps.dense_matrices(qp)
+    gx, *_ = reference_pdipm.solve(
+        H, f, A, b, G, d, *reference_pdipm.initialize_variables(G, d, A.shape[0]),
+        iterations=20,
+    )
+    res = pdipm.solve(qp, pdipm.PdipmOptions(backend=backend))
+    np.testing.assert_allclose(np.asarray(res.x), gx, atol=1e-6)
 
-    Known limitation (round 1): the late-iteration KKT has kappa ~ 1e13
-    (R = 1e-5 weights x z/s up to 1e8), so plain f32 + IR reaches ~1e-3
-    relative on typical problems but has outliers at ~1e-2 relative; the
-    mixed-precision path closes this (see ops/pdipm.py TODO)."""
+
+def test_pdipm_float32_grf_accuracy():
+    """f32 TPU path (augmented backend + 1 refinement) tracks the f64 golden.
+
+    The augmented stage formulation keeps the complementarity scaling on
+    diagonal entries instead of condensing G^T W^-1 G (which squares the
+    conditioning); measured agreement on converged problems is <=1e-2 N and
+    the per-iterate KKT quality matches f64 even on problems that are not
+    converged at the 20-iteration cap (where the f64 iterate itself is tens
+    of N away from the true optimum)."""
     qp64 = _make_qp()
     qp32 = jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), qp64)
     g = pdipm.solve(qp64, pdipm.PdipmOptions(backend="tridiag"))
-    opts32 = pdipm.PdipmOptions(backend="tridiag", refine_steps=1)
+    opts32 = pdipm.PdipmOptions(backend="tridiag_aug", refine_steps=1)
     r32 = pdipm.solve(qp32, opts32)
     u0_64 = np.asarray(g.x)[12 * T: 12 * T + 12]
     u0_32 = np.asarray(r32.x)[12 * T: 12 * T + 12]
-    np.testing.assert_allclose(u0_32, u0_64, atol=0.5)
+    np.testing.assert_allclose(u0_32, u0_64, atol=0.05)
 
 
 def test_mx_equality_enforced():
