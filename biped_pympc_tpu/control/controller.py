@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from biped_pympc_tpu.config import ControllerConf, MPCConf
 from biped_pympc_tpu.control import estimator, gait, legs, mpc, swing
 from biped_pympc_tpu.models.robot import RobotSpec, get_robot
+from biped_pympc_tpu.ops import pdipm
 from biped_pympc_tpu.ops.pdipm import PdipmOptions
 
 
@@ -68,11 +69,14 @@ class BipedControllerCore:
         self.gait_id = gait_id
         self.dtype = dtype
         self.robot: RobotSpec = get_robot(mpc_cfg.robot)
+        # The Pallas kernel implements the "tridiag" algorithm; other
+        # solver names map directly to pure-JAX backends.
+        backend = "tridiag" if mpc_cfg.solver == "pallas" else mpc_cfg.solver
         self.opts = PdipmOptions(
             iterations=mpc_cfg.newton_iterations,
             beta=mpc_cfg.solver_beta,
             delta=mpc_cfg.solver_delta,
-            backend=mpc_cfg.solver,
+            backend=backend,
             refine_steps=mpc_cfg.solver_refine_steps,
         )
         self.num_dof = self.robot.num_dof
@@ -186,25 +190,26 @@ class BipedControllerCore:
     def run_mpc(self, state: ControllerState):
         """MPC solve at the decimated rate (`biped_controller.py:116-147`).
 
-        Returns (state, MpcOutput batched). The resulting wrench is stored as
-        the leg command's feed-forward term.
+        Three phases: vmapped per-env QP assembly, one batched PDIPM solve
+        (pure-JAX vmap or the fused Pallas kernel, per `MPCConf.solver`),
+        vmapped postprocess. Returns (state, MpcOutput batched); the wrench
+        becomes the leg command's feed-forward term.
         """
         contact_table = jax.vmap(
             lambda p, g: gait.mpc_contact_table(p, g, self.mpc_cfg.horizon_length)
         )(state.gait_phase, state.gait_params)
 
-        step = functools.partial(
-            mpc.solve_mpc,
+        build = functools.partial(
+            mpc.build_mpc_qp,
             self.robot,
             horizon=self.mpc_cfg.horizon_length,
             decimation_dt=self.mpc_cfg.decimation * self.mpc_cfg.dt,
-            opts=self.opts,
             euler_rate_mode=self.mpc_cfg.euler_rate_mode,
             q_weights=jnp.asarray(self.mpc_cfg.Q, dtype=self.dtype),
             r_weights=jnp.asarray(self.mpc_cfg.R, dtype=self.dtype),
         )
-        new_mem, out = jax.vmap(
-            lambda mem, est, des, ct, dtm, rl, ra: step(
+        new_mem, x_ref, qp = jax.vmap(
+            lambda mem, est, des, ct, dtm, rl, ra: build(
                 mem, est, des, ct, dtm,
                 residual_lin_accel=rl, residual_ang_accel=ra,
             )
@@ -212,6 +217,20 @@ class BipedControllerCore:
             state.mpc_mem, state.est, state.des, contact_table,
             state.dt_mpc, state.residual_lin_accel, state.residual_ang_accel,
         )
+
+        if self.mpc_cfg.solver == "pallas":
+            from biped_pympc_tpu.ops import pdipm_pallas
+
+            sol = pdipm_pallas.solve(qp, self.opts)
+        else:
+            sol = jax.vmap(lambda q: pdipm.solve(q, self.opts))(qp)
+
+        out = jax.vmap(
+            lambda q, s, rot, xr: mpc.postprocess_solution(
+                q, s, rot, xr, self.mpc_cfg.horizon_length
+            )
+        )(qp, sol, state.est.rotation_body, x_ref)
+
         cmd = state.leg_cmd._replace(wrench_ff=out.wrench)
         state = state._replace(
             mpc_mem=new_mem, leg_cmd=cmd, x_ref=out.x_ref, mpc_cost=out.cost

@@ -119,6 +119,89 @@ def reference_trajectory(
     return new_mem, x_ref
 
 
+def build_mpc_qp(
+    robot: RobotSpec,
+    mem: MpcMemory,
+    est: EstimatorData,
+    des: DesiredState,
+    contact_table: jnp.ndarray,
+    dt_mpc: jnp.ndarray,
+    residual_lin_accel: jnp.ndarray,
+    residual_ang_accel: jnp.ndarray,
+    q_weights: jnp.ndarray,
+    r_weights: jnp.ndarray,
+    horizon: int,
+    decimation_dt: float,
+    euler_rate_mode: str = "rt_omega",
+):
+    """Per-env QP assembly half of the MPC step (vmapped by the caller).
+
+    Split out from the solve so the batched Pallas kernel can run on the
+    whole batch at once between the vmapped build and postprocess phases.
+    Returns (new_mem, x_ref, qp).
+    """
+    dtype = est.root_position.dtype
+    new_mem, x_ref = reference_trajectory(
+        mem, est, des, dt_mpc, horizon, decimation_dt
+    )
+
+    rot = est.rotation_body
+    i_world = rot @ jnp.asarray(robot.i_body, dtype=dtype) @ rot.T
+    lin = SrbdLin(
+        rot_body=rot,
+        inertia_world=i_world,
+        body_pos=est.root_position,
+        foot_pos=est.foot_position_w,
+        mass=jnp.asarray(robot.mass, dtype=dtype),
+        residual_lin_accel=residual_lin_accel,
+        residual_ang_accel=residual_ang_accel,
+    )
+    x0 = jnp.concatenate(
+        [est.root_euler, est.root_position, est.root_angular_velocity_w,
+         est.root_velocity_w]
+    )
+    qp = qps.build_qp(
+        lin, x0, x_ref, contact_table.astype(dtype), dt_mpc,
+        jnp.asarray(robot.mu, dtype=dtype), q_weights, r_weights, horizon,
+        euler_rate_mode,
+    )
+    return new_mem, x_ref, qp
+
+
+def postprocess_solution(
+    qp: qps.StageQP,
+    sol: pdipm.PdipmResult,
+    rot: jnp.ndarray,
+    x_ref: jnp.ndarray,
+    horizon: int,
+) -> MpcOutput:
+    """Extract u_0 and transform the wrench (`mpc_controller_cusadi.py:184-203`).
+
+    Per-env (vmapped by the caller).
+    """
+    nx = qps.NX
+    u0 = sol.x[nx * horizon: nx * horizon + qps.NU]
+    grf = u0.reshape(4, 3)  # [F_L, F_R, M_L, M_R] world frame
+    grm = grf[2:].at[:, 0].set(0.0)  # zero Mx (unactuated)
+    f_body = (rot.T @ grf[:2].T).T
+    m_body = (rot.T @ grm.T).T
+    wrench = jnp.stack(
+        [
+            jnp.concatenate([-f_body[0], -m_body[0]]),
+            jnp.concatenate([-f_body[1], -m_body[1]]),
+        ]
+    )
+    cost = 0.5 * jnp.dot(sol.x, qps.h_diag(qp) * sol.x) + jnp.dot(qp.f, sol.x)
+    return MpcOutput(
+        wrench=wrench,
+        cost=cost,
+        x_ref=x_ref,
+        grf_world=u0,
+        solution=sol.x,
+        residuals=sol.residuals,
+    )
+
+
 def solve_mpc(
     robot: RobotSpec,
     mem: MpcMemory,

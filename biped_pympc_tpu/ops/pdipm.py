@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 
 from biped_pympc_tpu.ops import qp as qps
+from biped_pympc_tpu.ops.linalg import gauss_jordan_inverse
 from biped_pympc_tpu.ops.qp import NU, NX, N_INEQ_PER_STAGE, N_MX_PER_STAGE, StageQP
 
 # Stage block layout for the tridiag backend: [u(12), nu(2), y(12), x_next(12)].
@@ -75,6 +76,9 @@ class PdipmOptions(NamedTuple):
     # this value. Bounds the reduced-KKT condition number for the f32 TPU
     # path; active constraints are then enforced to ~1/sigma_cap relative
     # feasibility (proximal smoothing). 0 disables (exact reference rule).
+    inv_impl: str = "gj"  # "gj" (batched Gauss-Jordan, TPU-fast) or
+    # "lapack" (jnp.linalg.inv — XLA's sequential LU, orders of magnitude
+    # slower on TPU for tiny matrices; kept as a cross-check)
 
 
 class PdipmState(NamedTuple):
@@ -226,9 +230,11 @@ def _factor_tridiag(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
     Ad = qp.dyn.A
     d = _stage_diag_blocks(qp, w_inv, opts)
 
+    inv = gauss_jordan_inverse if opts.inv_impl == "gj" else jnp.linalg.inv
+
     def step(m_prev_xx, d_i):
         s_i = d_i.at[_SB_Y:_SB_X, _SB_Y:_SB_X].add(-Ad @ m_prev_xx @ Ad.T)
-        s_inv = jnp.linalg.inv(s_i)
+        s_inv = inv(s_i)
         return s_inv[_SB_X:, _SB_X:], s_inv
 
     zero = jnp.zeros((NX, NX), dtype=d.dtype)
@@ -339,9 +345,11 @@ def _factor_tridiag_aug(qp: StageQP, w_diag: jnp.ndarray, opts: PdipmOptions):
     Ad = qp.dyn.A
     d = _stage_diag_blocks_aug(qp, w_diag, opts)
 
+    inv = gauss_jordan_inverse if opts.inv_impl == "gj" else jnp.linalg.inv
+
     def step(m_prev_xx, d_i):
         s_i = d_i.at[_SA_Y:_SA_X, _SA_Y:_SA_X].add(-Ad @ m_prev_xx @ Ad.T)
-        s_inv = jnp.linalg.inv(s_i)
+        s_inv = inv(s_i)
         return s_inv[_SA_X:, _SA_X:], s_inv
 
     zero = jnp.zeros((NX, NX), dtype=d.dtype)

@@ -1,0 +1,47 @@
+"""Pallas fused-kernel PDIPM vs the pure-JAX solver (interpret mode on CPU).
+
+The kernel implements exactly the "tridiag" backend's algorithm; on the real
+TPU it matched the JAX path to ~2e-4 at low iteration counts (f32 path
+equality) — here we run the interpreter for platform-independent coverage
+with a short iteration budget (interpret mode is slow).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import biped_pympc_tpu.ops.pdipm_pallas as pp
+from biped_pympc_tpu.ops import pdipm
+
+from test_pdipm import _make_qp
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(pp.pl, "pallas_call", patched)
+
+
+def test_pallas_kernel_matches_jax_tridiag(interpret_pallas):
+    qs = [_make_qp(seed=s, dtype=jnp.float32, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="tridiag", refine_steps=1, iterations=2)
+    res_k = pp.solve(batch, opts, tile=4)
+    ref = jax.vmap(lambda q: pdipm.solve(q, opts))(batch)
+    np.testing.assert_allclose(
+        np.asarray(res_k.x), np.asarray(ref.x), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_k.z), np.asarray(ref.z), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_k.residuals), np.asarray(ref.residuals),
+        rtol=1e-3, atol=1e-4,
+    )
