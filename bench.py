@@ -40,7 +40,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
-    mpc_cfg = MPCConf()  # 20 Newton iterations, tridiag_aug + 1 refinement
+    mpc_cfg = MPCConf(solver="pallas")  # 20 Newton iters, fused Pallas kernel
     core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
     state = core.init_state(batch)
 

@@ -15,15 +15,19 @@ wide, regular VPU op across 128 envs at once — the TPU-native analog of the
 reference's one-CUDA-thread-per-env scalar tape.
 
 The algorithm is the normal-form block-tridiagonal backend of `ops/pdipm.py`
-(backend="tridiag"): 38-wide stage blocks [u, nu, y, x_next], Riccati-style
-Thomas factorization with per-stage Gauss-Jordan inverses (partial pivoting
-via masked argmax — per-env pivot choices are data), two RHS per iteration
-plus optional iterative refinement. f32 end to end.
+(backend="tridiag") with one extra exact condensation: the x_{t+1} rows have
+a diagonal well-conditioned pivot (Q + beta) and are eliminated analytically,
+so the Riccati-style Thomas factorization runs per-stage Gauss-Jordan on
+26-wide blocks [u, nu, y] (partial pivoting via masked argmax — per-env pivot
+choices are data), with the Riccati xx-inverse in closed form
+(M = Q~^-1 + Q~^-1 N_yy Q~^-1). Two RHS per iteration plus optional
+iterative refinement; f32 end to end. Measured on v5e: 27.6 ms per batch-1024
+20-iteration solve (vs 3520 ms for the XLA jnp.linalg.inv path).
 
 Block budget per 128-env tile (f32, lane-padded):
-  stage inverses (10, 38, 38, 128)  ~7.8 MB
-  GJ tableau     (38, 80, 128)      ~1.6 MB
-  QP data + iterates + sweep state  ~1.5 MB     => ~11 MB < 16 MB VMEM
+  stage inverses (10, 26, 26, 128)  ~3.7 MB
+  GJ tableau     (26, 56, 128)      ~0.8 MB
+  QP data + iterates + sweep state  ~1.5 MB     => ~6 MB < 16 MB VMEM
 """
 
 from __future__ import annotations
@@ -41,11 +45,10 @@ from biped_pympc_tpu.ops import qp as qps
 from biped_pympc_tpu.ops.pdipm import PdipmOptions, PdipmResult
 from biped_pympc_tpu.ops.qp import NU, NX, N_INEQ_PER_STAGE, N_MX_PER_STAGE, StageQP
 
-# Stage block layout [u(12), nu(2), y(12), x_next(12)] = 38 (matches
-# ops/pdipm.py's "tridiag" backend).
-_U0, _NU0, _Y0, _X0 = 0, 12, 14, 26
-SB = 38
-_AUG = 2 * SB  # GJ tableau columns [S | I]
+# Condensed stage block layout [u(12), nu(2), y(12)] = 26: the x_{t+1}
+# block (diagonal pivot Q+beta) is eliminated analytically before the GJ.
+_CY0 = 14  # start of the y rows in the condensed block
+SC = 26
 
 
 def _mv(mat, vec):
@@ -64,13 +67,13 @@ def _mtm(a, b):
 
 
 def _gj_inverse(s_mat):
-    """Invert (SB, SB, B) via Gauss-Jordan with per-lane partial pivoting.
+    """Invert (n, n, B) via Gauss-Jordan with per-lane partial pivoting.
 
     The elimination loop is unrolled with static step indices — Mosaic TC
     kernels do not lower dynamic_slice on values, and static slicing makes
     the row/column extractions free.
     """
-    n = SB
+    n = s_mat.shape[0]
     bt = s_mat.shape[-1]
     eye = jnp.broadcast_to(jnp.eye(n, dtype=s_mat.dtype)[:, :, None], (n, n, bt))
     aug = jnp.concatenate([s_mat, eye], axis=1)  # (n, 2n, B)
@@ -181,8 +184,14 @@ def _pdipm_kernel(
     q_diag = hd[:NX]  # (12, B): per-env state weights (tiled across stages)
     r_diag = hd[NX * T: NX * T + NU]
 
+    # x-block elimination: the x_{t+1} rows have a diagonal, well-conditioned
+    # pivot (Q + beta >= 1), so they are condensed analytically and the GJ
+    # runs on 26-wide blocks [u(12), nu(2), y(12)] — ~3x fewer elimination
+    # flops and half the stage-inverse storage vs the full 38-wide form.
+    q_inv = 1.0 / (q_diag + opts.beta)  # (12, B)
+
     def factor(w_inv):
-        """Thomas forward pass: store per-stage inverses in sinv_ref."""
+        """Thomas forward pass: store per-stage condensed inverses."""
         w_s = w_inv.reshape(T, N_INEQ_PER_STAGE, bt)
 
         def stage(t, m_prev):
@@ -192,86 +201,90 @@ def _pdipm_kernel(
                 axis=0,
             )  # (12, 12, B)
             eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
-            eye12b = jnp.broadcast_to(eye12, (NX, NX, bt))
             ru = gtwg + eye12 * (r_diag[:, None, :] + opts.beta)
-            # y,y: -delta I - Ad M_prev Ad^T  (Riccati correction)
+            # y,y: -delta I - Ad M_prev Ad^T (Riccati) - Q~^-1 (x elimination)
             adm = _mm(ad, m_prev)  # (12, 12, B)
             # admadt[i, l] = sum_k adm[i, k] ad[l, k]
             admadt = jnp.sum(adm[:, None, :, :] * ad[None, :, :, :], axis=2)
-            yy = -opts.delta * eye12 - admadt
-            xx = eye12 * (q_diag[:, None, :] + opts.beta)
-            z_u_nu = jnp.zeros((NU, NX, bt), dtype)  # (12, 12, B) zero block
+            yy = -opts.delta * eye12 - admadt - eye12 * q_inv[:, None, :]
             z_nu2 = -opts.delta * jnp.broadcast_to(
                 jnp.eye(N_MX_PER_STAGE, dtype=dtype)[:, :, None],
                 (N_MX_PER_STAGE, N_MX_PER_STAGE, bt),
             )
             zf = lambda r, c: jnp.zeros((r, c, bt), dtype)
-            # rows [u, nu, y, x] x cols [u(12), nu(2), y(12), x(12)]
+            # rows [u, nu, y] x cols [u(12), nu(2), y(12)]
             row_u = jnp.concatenate(
-                [ru, jnp.swapaxes(e_sel, 0, 1), -jnp.swapaxes(bd, 0, 1),
-                 zf(NU, NX)], axis=1)
-            row_nu = jnp.concatenate(
-                [e_sel, z_nu2, zf(N_MX_PER_STAGE, NX), zf(N_MX_PER_STAGE, NX)],
+                [ru, jnp.swapaxes(e_sel, 0, 1), -jnp.swapaxes(bd, 0, 1)],
                 axis=1)
-            row_y = jnp.concatenate([-bd, zf(NX, N_MX_PER_STAGE), yy, eye12b],
-                                    axis=1)
-            row_x = jnp.concatenate(
-                [zf(NX, NU), zf(NX, N_MX_PER_STAGE), eye12b, xx], axis=1)
-            s_mat = jnp.concatenate([row_u, row_nu, row_y, row_x], axis=0)
+            row_nu = jnp.concatenate(
+                [e_sel, z_nu2, zf(N_MX_PER_STAGE, NX)], axis=1)
+            row_y = jnp.concatenate([-bd, zf(NX, N_MX_PER_STAGE), yy], axis=1)
+            s_mat = jnp.concatenate([row_u, row_nu, row_y], axis=0)
 
-            s_inv = _gj_inverse(s_mat)  # (SB, SB, B)
+            s_inv = _gj_inverse(s_mat)  # (SC, SC, B)
             sinv_ref[t] = s_inv
-            return s_inv[_X0:, _X0:, :]  # xx block for the next stage
+            # Riccati xx-inverse, closed form: M = Q~^-1 + Q~^-1 Nyy Q~^-1
+            nyy = s_inv[_CY0:, _CY0:, :]  # (12, 12, B)
+            m_next = eye12 * q_inv[:, None, :] \
+                + q_inv[:, None, :] * nyy * q_inv[None, :, :]
+            return m_next
 
         m_prev = jnp.zeros((NX, NX, bt), dtype)
         for t in range(T):
             m_prev = stage(t, m_prev)
 
-    def pack_stage(r1, r4):  # canonical rhs -> (T, SB, B)
+    def pack_stage(r1, r4):
+        """canonical rhs -> condensed (T, 26, B) blocks + x-rhs (T, 12, B).
+
+        The condensed y-row rhs is r_y - Q~^-1 r_x (from the x elimination)."""
         rx = r1[: NX * T].reshape(T, NX, bt)
         ru = r1[NX * T:].reshape(T, NU, bt)
         ry = r4[: NX * T].reshape(T, NX, bt)
         rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE, bt)
-        return jnp.concatenate([ru, rnu, ry, rx], axis=1)
+        ry_c = ry - q_inv[None] * rx
+        return jnp.concatenate([ru, rnu, ry_c], axis=1), rx
 
     def thomas_solve(r1_hat, r4):
-        """Two-sweep solve using the stored stage inverses."""
-        r = pack_stage(r1_hat, r4)  # (T, SB, B)
+        """Two-sweep condensed solve; x recovered per stage in closed form."""
+        r, rx_s = pack_stage(r1_hat, r4)  # (T, SC, B), (T, 12, B)
 
         g_list = []
         sol_prev_x = jnp.zeros((NX, bt), dtype)
         for t in range(T):
             r_t = r[t]
             g_t = jnp.concatenate(
-                [r_t[:_Y0], r_t[_Y0:_X0] + _mv(ad, sol_prev_x), r_t[_X0:]],
-                axis=0,
+                [r_t[:_CY0], r_t[_CY0:] + _mv(ad, sol_prev_x)], axis=0
             )
             g_list.append(g_t)
-            sol = _mv(sinv_ref[t], g_t)  # (SB, B)
-            sol_prev_x = sol[_X0:, :]
+            sol = _mv(sinv_ref[t], g_t)  # (SC, B)
+            # x = Q~^-1 (r_x - y)
+            sol_prev_x = q_inv * (rx_s[t] - sol[_CY0:, :])
 
         w_list = [None] * T
-        w_next = jnp.zeros((SB, bt), dtype)
+        x_list = [None] * T
+        w_y_next = jnp.zeros((NX, bt), dtype)
         for t in range(T - 1, -1, -1):
-            # (A_d^T w_y)_j = sum_i Ad[i, j] w_y[i]. NOTE: the slice and the
-            # None axis must be separate indexing ops — a combined
-            # w_next[a:b, None, :] lowers to a gather Mosaic rejects.
-            w_y = w_next[_Y0:_X0]  # (12, B)
+            # next stage's dual couples into this stage's x-row: the x-rhs
+            # becomes r_x + Ad^T w_y_next, shifting the condensed y-rhs by
+            # -Q~^-1 Ad^T w_y_next. NOTE: slice and None must be separate
+            # indexing ops (combined -> gather Mosaic rejects).
+            adT_wy = jnp.sum(ad * w_y_next[:, None, :], axis=0)  # (12, B)
             g_t = g_list[t]
             g_mod = jnp.concatenate(
-                [g_t[:_X0],
-                 g_t[_X0:] + jnp.sum(ad * w_y[:, None, :], axis=0)],
-                axis=0,
+                [g_t[:_CY0], g_t[_CY0:] - q_inv * adT_wy], axis=0
             )
             w_t = _mv(sinv_ref[t], g_mod)
+            w_y = w_t[_CY0:, :]
+            x_list[t] = q_inv * (rx_s[t] + adT_wy - w_y)
             w_list[t] = w_t
-            w_next = w_t
+            w_y_next = w_y
         w = jnp.stack(w_list)
+        xs = jnp.stack(x_list)
 
-        du = w[:, _U0:_NU0, :].reshape(NU * T, bt)
-        dnu = w[:, _NU0:_Y0, :].reshape(N_MX_PER_STAGE * T, bt)
-        dy = w[:, _Y0:_X0, :].reshape(NX * T, bt)
-        dx = w[:, _X0:, :].reshape(NX * T, bt)
+        du = w[:, :NU, :].reshape(NU * T, bt)
+        dnu = w[:, NU:_CY0, :].reshape(N_MX_PER_STAGE * T, bt)
+        dy = w[:, _CY0:, :].reshape(NX * T, bt)
+        dx = xs.reshape(NX * T, bt)
         dxz = jnp.concatenate([dx, du], axis=0)
         dyv = jnp.concatenate([dy, dnu], axis=0)
         return dxz, dyv
@@ -438,7 +451,7 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         ],
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((horizon, SB, SB, tile), dtype),
+            pltpu.VMEM((horizon, SC, SC, tile), dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
