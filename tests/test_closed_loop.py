@@ -1,0 +1,40 @@
+"""End-to-end closed-loop walking: MPC + SRBD plant, full stack integration.
+
+The strongest integration test in the suite: if any layer (gait, swing,
+estimator, QP assembly, PDIPM, wrench transforms, IK) is wrong, the biped
+falls over or fails to track the commanded velocity.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from examples.closed_loop_sim import simulate
+
+
+def test_walks_and_stays_upright():
+    out = simulate(num_envs=2, seconds=1.0, vx=0.3, verbose=False)
+
+    rpy = out["rpy"]  # (snapshots, B, 3)
+    assert np.abs(rpy[:, :, :2]).max() < 0.1, "fell over (roll/pitch)"
+
+    pos = out["pos"]
+    z = pos[:, :, 2]
+    assert np.abs(z - 0.55).max() < 0.05, "height not held"
+
+    # After the transient, forward velocity tracks the command.
+    vx_late = out["vx"][len(out["vx"]) // 2:]
+    assert np.abs(vx_late - 0.3).max() < 0.12, f"vx tracking off: {vx_late}"
+
+    # Walked roughly vx * t forward.
+    dist = pos[-1, 0, 0] - pos[0, 0, 0]
+    assert dist > 0.1, f"did not walk forward: {dist}"
+
+    # Alternating single support: every snapshot has at least one loaded leg
+    # while walking, and both legs get loaded across the run.
+    fz = out["fz"]  # (snapshots, B, 2)
+    assert (fz.max(axis=2) > 50.0).mean() > 0.8
+    assert (fz[:, 0, 0] > 50).any() and (fz[:, 0, 1] > 50).any()
