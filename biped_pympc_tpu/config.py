@@ -28,6 +28,8 @@ class ControllerConf:
     dsp_durations: int = 0
     swing_height: float = 0.1
     swing_reference_frame: Literal["world", "base"] = "base"
+    # Swing curve type (`swing_leg_trajectory.py:8` curve_type)
+    swing_curve: Literal["bezier", "cycloid"] = "bezier"
 
 
 @dataclass(frozen=True)

@@ -265,7 +265,11 @@ class BipedControllerCore:
         )(sw, state.est.root_position, state.est.rotation_body,
           state.est.root_velocity_w, state.des.velocity_b)
 
-        sw, p_des, v_des = jax.vmap(swing.compute_foot_desired_position)(
+        sw, p_des, v_des = jax.vmap(
+            lambda *a: swing.compute_foot_desired_position(
+                *a, curve=self.cfg.swing_curve
+            )
+        )(
             sw, swing_phase, contact_phase, swing_dur,
             state.leg_data.p, state.foot_height, state.cp1, state.cp2,
         )

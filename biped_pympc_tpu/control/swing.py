@@ -169,6 +169,7 @@ def compute_foot_desired_position(
     foot_height: jnp.ndarray,
     cp1: jnp.ndarray,
     cp2: jnp.ndarray,
+    curve: str = "bezier",
 ):
     """Desired swing-foot position/velocity in body frame.
 
@@ -186,6 +187,11 @@ def compute_foot_desired_position(
 
     def leg(i):
         ph = jnp.clip(swing_phase[i], 0.0, 1.0)
+        if curve == "cycloid":
+            return cycloid(
+                ph, swing_duration[i], p0[i], state.foot_placement_b[i],
+                foot_height,
+            )
         return cubic_bezier(
             ph, swing_duration[i], p0[i], state.foot_placement_b[i],
             foot_height, cp1, cp2,

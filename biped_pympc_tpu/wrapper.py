@@ -52,10 +52,29 @@ class MPCController:
         self.state = self.core.ingest_state(self.state, jnp.asarray(state_vec))
 
     def run_mpc(self) -> None:
-        self.state, self._last_mpc = self.core.run_mpc(self.state)
+        if self.core.mpc_cfg.print_solve_time:
+            import time
+
+            t0 = time.perf_counter()
+            self.state, self._last_mpc = jax.block_until_ready(
+                self.core.run_mpc(self.state)
+            )
+            # Parity: `biped_controller.py:116-122` wall-clock print. Note
+            # this forces device sync — leave print_solve_time off in
+            # production (async dispatch pipelines are faster).
+            print(f"MPC solve time took:  {1e3*(time.perf_counter()-t0):.3f} ms")
+        else:
+            self.state, self._last_mpc = self.core.run_mpc(self.state)
 
     def run_lowlevel(self) -> None:
-        self.state = self.core.run_lowlevel(self.state)
+        if self.core.mpc_cfg.print_solve_time:
+            import time
+
+            t0 = time.perf_counter()
+            self.state = jax.block_until_ready(self.core.run_lowlevel(self.state))
+            print(f"low level control took:  {1e3*(time.perf_counter()-t0):.3f} ms")
+        else:
+            self.state = self.core.run_lowlevel(self.state)
 
     def get_action(self) -> jnp.ndarray:
         return self.core.joint_torque(self.state)
@@ -207,6 +226,39 @@ class MPCController:
             st.swing_state, swing_dur, st.foot_height, st.cp1, st.cp2,
             st.leg_data.contact_bool,
         )
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (no reference equivalent — the reference's only
+    # persistent artifacts are offline .casadi/.so caches; here the whole
+    # controller state is an explicit pytree, so episodic state survives
+    # process restarts trivially).
+    # ------------------------------------------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Serialize the full per-env controller state to an .npz file."""
+        leaves, treedef = jax.tree.flatten(self.state)
+        np.savez(
+            path,
+            __treedef__=np.frombuffer(
+                repr(treedef).encode(), dtype=np.uint8
+            ),
+            **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)},
+        )
+
+    def load_state(self, path: str) -> None:
+        """Restore controller state saved by `save_state` (same config)."""
+        data = np.load(path)
+        leaves, treedef = jax.tree.flatten(self.state)
+        new_leaves = []
+        for i, old in enumerate(leaves):
+            arr = data[f"leaf_{i}"]
+            if arr.shape != old.shape:
+                raise ValueError(
+                    f"checkpoint leaf {i} shape {arr.shape} != {old.shape} "
+                    "(batch size / config mismatch)"
+                )
+            new_leaves.append(jnp.asarray(arr, old.dtype))
+        self.state = jax.tree.unflatten(treedef, new_leaves)
 
     # convenience
     def to_numpy(self, x) -> np.ndarray:

@@ -1,0 +1,85 @@
+"""Wrapper extras: cycloid swing curve, checkpoint/restore, solve-time print."""
+
+import numpy as np
+import pytest
+
+from biped_pympc_tpu import ControllerConf, MPCConf, MPCController
+
+
+def _obs(batch):
+    obs = np.zeros((batch, 43), dtype=np.float32)
+    obs[:, 2] = 0.55
+    obs[:, 3] = 1.0
+    q0 = np.array([0.0, 0.0, 0.45, -0.9, 0.45], dtype=np.float32)
+    obs[:, 13:18] = q0
+    obs[:, 18:23] = q0
+    return obs
+
+
+def _step(ctrl, obs, n=5, mpc=True):
+    twist = np.zeros((obs.shape[0], 3), np.float32)
+    twist[:, 0] = 0.3
+    ctrl.set_command(twist, np.full(obs.shape[0], 0.55, np.float32))
+    for i in range(n):
+        ctrl.update_state(obs)
+        if mpc and i % 10 == 0:
+            ctrl.run_mpc()
+        ctrl.run_lowlevel()
+
+
+def test_cycloid_swing_curve():
+    obs = _obs(2)
+    ctrl = MPCController(
+        ControllerConf(swing_curve="cycloid"), MPCConf(), num_envs=2, gait_id=2
+    )
+    _step(ctrl, obs, n=8, mpc=False)
+    p = np.asarray(ctrl.ref_foot_pos_b)
+    assert np.isfinite(p[:, 1]).all()  # right foot swings at phase 0
+    # swing target differs from the bezier default at the same phase
+    ctrl_b = MPCController(ControllerConf(), MPCConf(), num_envs=2, gait_id=2)
+    _step(ctrl_b, obs, n=8, mpc=False)
+    p_b = np.asarray(ctrl_b.ref_foot_pos_b)
+    assert not np.allclose(p[:, 1], p_b[:, 1])
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    obs = _obs(3)
+    ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=3, gait_id=2)
+    _step(ctrl, obs, n=7)
+    path = str(tmp_path / "state.npz")
+    ctrl.save_state(path)
+    phase_saved = np.asarray(ctrl.state.gait_phase).copy()
+
+    ctrl2 = MPCController(ControllerConf(), MPCConf(), num_envs=3, gait_id=2)
+    ctrl2.load_state(path)
+    np.testing.assert_array_equal(np.asarray(ctrl2.state.gait_phase), phase_saved)
+    np.testing.assert_allclose(
+        np.asarray(ctrl2.state.leg_cmd.wrench_ff),
+        np.asarray(ctrl.state.leg_cmd.wrench_ff),
+    )
+    # restored controller continues stepping
+    _step(ctrl2, obs, n=2)
+    assert np.isfinite(np.asarray(ctrl2.get_action())).all()
+
+
+def test_checkpoint_batch_mismatch_rejected(tmp_path):
+    ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=2, gait_id=1)
+    path = str(tmp_path / "s.npz")
+    ctrl.save_state(path)
+    ctrl4 = MPCController(ControllerConf(), MPCConf(), num_envs=4, gait_id=1)
+    with pytest.raises(ValueError, match="mismatch"):
+        ctrl4.load_state(path)
+
+
+def test_print_solve_time(capsys):
+    obs = _obs(2)
+    ctrl = MPCController(
+        ControllerConf(), MPCConf(print_solve_time=True), num_envs=2, gait_id=1
+    )
+    ctrl.set_command(np.zeros((2, 3), np.float32), np.full(2, 0.55, np.float32))
+    ctrl.update_state(obs)
+    ctrl.run_mpc()
+    ctrl.run_lowlevel()
+    captured = capsys.readouterr().out
+    assert "MPC solve time took" in captured
+    assert "low level control took" in captured
