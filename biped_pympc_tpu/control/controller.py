@@ -265,14 +265,26 @@ class BipedControllerCore:
         )(sw, state.est.root_position, state.est.rotation_body,
           state.est.root_velocity_w, state.des.velocity_b)
 
-        sw, p_des, v_des = jax.vmap(
-            lambda *a: swing.compute_foot_desired_position(
-                *a, curve=self.cfg.swing_curve
+        if self.cfg.swing_reference_frame == "world":
+            sw, p_des, v_des = jax.vmap(
+                lambda *a: swing.compute_foot_desired_position_world(
+                    *a, curve=self.cfg.swing_curve
+                )
+            )(
+                sw, swing_phase, contact_phase, swing_dur,
+                state.est.foot_position_w, state.est.root_position,
+                state.est.root_velocity_w, state.est.rotation_body,
+                state.foot_height, state.cp1, state.cp2,
             )
-        )(
-            sw, swing_phase, contact_phase, swing_dur,
-            state.leg_data.p, state.foot_height, state.cp1, state.cp2,
-        )
+        else:
+            sw, p_des, v_des = jax.vmap(
+                lambda *a: swing.compute_foot_desired_position(
+                    *a, curve=self.cfg.swing_curve
+                )
+            )(
+                sw, swing_phase, contact_phase, swing_dur,
+                state.leg_data.p, state.foot_height, state.cp1, state.cp2,
+            )
 
         cmd = state.leg_cmd._replace(p_des=p_des, v_des=v_des)
         cmd = jax.vmap(lambda d, c: legs.update_command(robot, d, c))(

@@ -8,9 +8,10 @@ latch, remaining swing time, latched lift-off position); all updates are
 masked `jnp.where`, so per-env episodic resets and heterogeneous phases are
 data, not control flow. Single-env functions; vmap for the batch.
 
-Only the reference's default "base" reference frame is implemented in the hot
-path; the "world"-frame variant differs only in which position is latched and
-a rotation of the outputs (`swing_leg_controller.py:236-258`).
+Both reference frames are supported: "base" (default) plans the swing curve
+in the body frame from the measured body-frame foot position; "world" latches
+the world-frame foot position, plans in world, and rotates position/velocity
+targets back to the body frame (`swing_leg_controller.py:236-258`).
 """
 
 from __future__ import annotations
@@ -201,4 +202,50 @@ def compute_foot_desired_position(
     p_r, v_r = leg(1)
     p_des = jnp.stack([p_l, p_r])
     v_des = jnp.stack([v_l, v_r])
+    return state._replace(first_swing=first_swing, p0=p0), p_des, v_des
+
+
+def compute_foot_desired_position_world(
+    state: SwingState,
+    swing_phase: jnp.ndarray,
+    contact_phase: jnp.ndarray,
+    swing_duration: jnp.ndarray,
+    foot_pos_w: jnp.ndarray,
+    root_pos: jnp.ndarray,
+    root_vel_w: jnp.ndarray,
+    rot_body: jnp.ndarray,
+    foot_height: jnp.ndarray,
+    cp1: jnp.ndarray,
+    cp2: jnp.ndarray,
+    curve: str = "bezier",
+):
+    """World-frame variant (`swing_leg_controller.py:236-258`): latch the
+    world-frame foot position, plan the curve toward the world-frame Raibert
+    target, then express targets in the body frame:
+        p_b = R^T (p_w - root),  v_b = R^T (v_w - root_vel_w).
+    """
+    latch = state.first_swing & (swing_phase >= 0)
+    p0 = jnp.where(latch[:, None], foot_pos_w, state.p0)
+
+    first_swing = jnp.where(swing_phase >= 0, False, state.first_swing)
+    first_swing = jnp.where(contact_phase >= 0, True, first_swing)
+
+    def leg(i):
+        ph = jnp.clip(swing_phase[i], 0.0, 1.0)
+        if curve == "cycloid":
+            return cycloid(
+                ph, swing_duration[i], p0[i], state.foot_placement_w[i],
+                foot_height,
+            )
+        return cubic_bezier(
+            ph, swing_duration[i], p0[i], state.foot_placement_w[i],
+            foot_height, cp1, cp2,
+        )
+
+    p_l, v_l = leg(0)
+    p_r, v_r = leg(1)
+    p_w = jnp.stack([p_l, p_r])  # (2, 3) world
+    v_w = jnp.stack([v_l, v_r])
+    p_des = (p_w - root_pos[None, :]) @ rot_body  # R^T applied rowwise
+    v_des = (v_w - root_vel_w[None, :]) @ rot_body
     return state._replace(first_swing=first_swing, p0=p0), p_des, v_des

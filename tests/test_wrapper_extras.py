@@ -83,3 +83,34 @@ def test_print_solve_time(capsys):
     captured = capsys.readouterr().out
     assert "MPC solve time took" in captured
     assert "low level control took" in captured
+
+
+def _step_moving(ctrl, n):
+    """Step with the body translating forward each tick (world-frame swing
+    planning only differs from base-frame when the body moves mid-swing)."""
+    obs = _obs(2)
+    obs[:, 7] = 0.3
+    twist = np.zeros((2, 3), np.float32)
+    twist[:, 0] = 0.3
+    ctrl.set_command(twist, np.full(2, 0.55, np.float32))
+    for i in range(n):
+        obs[:, 0] += 0.003  # body advances 3 mm per tick
+        ctrl.update_state(obs)
+        ctrl.run_lowlevel()
+
+
+def test_world_frame_swing_reference():
+    """World-frame swing planning (`swing_leg_controller.py:236-258`):
+    finite body-frame targets; world-latched liftoff position recedes in the
+    body frame as the body translates, unlike the base-frame plan. With a
+    static body both frames coincide (verified: identical to f32 eps)."""
+    cfg_w = ControllerConf(swing_reference_frame="world")
+    ctrl_w = MPCController(cfg_w, MPCConf(), num_envs=2, gait_id=2)
+    _step_moving(ctrl_w, n=8)
+    p_w = np.asarray(ctrl_w.ref_foot_pos_b)
+    assert np.isfinite(p_w).all()
+
+    ctrl_b = MPCController(ControllerConf(), MPCConf(), num_envs=2, gait_id=2)
+    _step_moving(ctrl_b, n=8)
+    p_b = np.asarray(ctrl_b.ref_foot_pos_b)
+    assert not np.allclose(p_w[:, 1], p_b[:, 1], atol=1e-5)
