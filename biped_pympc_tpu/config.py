@@ -43,7 +43,7 @@ class MPCConf:
     Q: Tuple[float, ...] = _DEFAULT_Q
     R: Tuple[float, ...] = _DEFAULT_R
     solver: Literal["tridiag_aug", "tridiag", "dense", "pallas"] = "tridiag_aug"
-    robot: Literal["HECTOR", "T1"] = "HECTOR"
+    robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
     # `mpc_controller_cusadi.py:28,144`).
     newton_iterations: int = 20

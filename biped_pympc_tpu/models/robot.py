@@ -64,7 +64,15 @@ T1 = RobotSpec(
     hip_horizontal_location=t1.hip_horizontal_location,
 )
 
-_REGISTRY = {"HECTOR": HECTOR, "T1": T1}
+# "T1-newton": T1 with Gauss-Newton-refined exact IK — fixes the reference
+# IK's decimeter-level FK(IK(p)) error at bent poses (opt-in improvement; the
+# plain "T1" entry keeps reference-parity behavior).
+T1_NEWTON = RobotSpec(
+    **{**T1.__dict__, "name": "T1-newton",
+       "analytical_ik": t1.analytical_ik_newton},
+)
+
+_REGISTRY = {"HECTOR": HECTOR, "T1": T1, "T1-newton": T1_NEWTON}
 
 
 def get_robot(name: str) -> RobotSpec:

@@ -21,6 +21,7 @@ Chain constants are extracted from `/root/reference/model/t1_serial.urdf`
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from biped_pympc_tpu.models.chain import (
@@ -114,6 +115,43 @@ def analytical_ik(p_foot_b: jnp.ndarray, leg: int) -> jnp.ndarray:
 
     zero = jnp.zeros((), dtype=dtype)
     return jnp.stack([hip_pitch, hip_roll, zero, knee_pitch, ankle_pitch, zero])
+
+
+def analytical_ik_newton(p_foot_b: jnp.ndarray, leg: int,
+                         iterations: int = 10) -> jnp.ndarray:
+    """Accurate T1 IK: crude analytic seed + damped Gauss-Newton refinement.
+
+    The reference's T1 IK is a planar approximation with decimeter-level
+    FK(IK(p)) error at bent poses (`t1.py:190-202` ignores how the knee
+    x-offset rotates with hip pitch), which biases the estimator's foot
+    positions and degrades T1 control. This refiner runs a few Gauss-Newton
+    steps on the *exact* chain FK, updating only the pitch/roll joints (hip
+    yaw and ankle roll stay 0, preserving the reference convention):
+
+        dq = J4^T (J4 J4^T + lambda I)^-1 (p_des - FK(q))
+
+    with J4 the position Jacobian restricted to [hip_pitch, hip_roll, knee,
+    ankle_pitch]. Fully batched/jittable; <=1e-7 m residual in 10 iterations
+    (the crude seed can be decimeters off, so convergence takes a few steps).
+    Opt-in via the "T1-newton" robot registry entry.
+    """
+    dtype = p_foot_b.dtype
+    active = jnp.asarray([0, 1, 3, 4])
+    lam = 1e-6
+
+    def body(q, _):
+        p, _frames = forward_kinematics(q, leg)
+        jac = contact_jacobian(q, leg)[:3, :]  # (3, 6)
+        j4 = jac[:, active]  # (3, 4)
+        r = p_foot_b - p
+        m = j4 @ j4.T + lam * jnp.eye(3, dtype=dtype)
+        dq4 = j4.T @ jnp.linalg.solve(m, r)
+        q = q.at[active].add(dq4)
+        return q, None
+
+    q0 = analytical_ik(p_foot_b, leg)
+    q, _ = jax.lax.scan(body, q0, None, length=iterations)
+    return q
 
 
 def hip_horizontal_location(leg: int, dtype=jnp.float32) -> jnp.ndarray:

@@ -50,21 +50,25 @@ def simulate(
     seconds: float = 2.0,
     vx: float = 0.3,
     solver: str = "tridiag_aug",
+    robot_name: str = "HECTOR",
+    height: float | None = None,
     seed: int = 0,
     verbose: bool = True,
 ):
     """Run the closed loop; returns a dict of trajectories (numpy)."""
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
-    mpc_cfg = MPCConf(solver=solver)
+    mpc_cfg = MPCConf(solver=solver, robot=robot_name)
     ctrl = MPCController(cfg, mpc_cfg, num_envs=num_envs, gait_id=2)
     robot = ctrl.core.robot
+    if height is None:
+        height = 0.55 if robot_name == "HECTOR" else 0.62
     dt = mpc_cfg.dt
     steps = int(seconds / dt)
     rng = np.random.default_rng(seed)
 
     # Plant state: x = [rpy, pos, omega_w, v_w] per env.
     x = np.zeros((num_envs, 12))
-    x[:, 5] = 0.55
+    x[:, 5] = height
     grf = np.zeros((num_envs, 12))
 
     # Kinematic feet in world frame: start under the hips.
@@ -76,8 +80,7 @@ def simulate(
 
     twist = np.zeros((num_envs, 3), dtype=np.float32)
     twist[:, 0] = vx
-    height = np.full(num_envs, 0.55, dtype=np.float32)
-    ctrl.set_command(twist, height)
+    ctrl.set_command(twist, np.full(num_envs, height, dtype=np.float32))
 
     ik = jax.jit(
         lambda p, leg: jax.vmap(lambda pp: robot.analytical_ik(pp, leg))(p),
