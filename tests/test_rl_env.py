@@ -1,0 +1,41 @@
+"""RL-MPC environment smoke test: DRL knobs + masked resets end to end."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_ROOT))
+sys.path.insert(0, str(_ROOT / "examples"))
+
+from rl_env import RlMpcEnv
+
+
+def test_rl_env_steps_and_improves():
+    env = RlMpcEnv(num_envs=3, vx_cmd=0.3, seed=0)
+    obs = env.reset()
+    assert obs.shape == (3, 14)
+    rng = np.random.default_rng(0)
+    rewards = []
+    for _ in range(8):
+        obs, r, done, info = env.step(0.05 * rng.standard_normal((3, 10)))
+        rewards.append(r.mean())
+        assert np.isfinite(obs).all() and np.isfinite(r).all()
+    # no falls with small random knob perturbations; reward improves as the
+    # robot accelerates toward the commanded velocity
+    assert not done.any()
+    assert rewards[-1] > rewards[0]
+
+
+def test_rl_env_fall_reset():
+    env = RlMpcEnv(num_envs=2, vx_cmd=0.3, seed=1)
+    env.reset()
+    # knock env 0 over
+    env.plant.x[0, 0] = 0.8  # roll way past the fall threshold
+    obs, r, done, info = env.step(np.zeros((2, 10)))
+    assert bool(done[0])
+    assert r[0] < r[1]
+    # env 0 was reset to nominal
+    assert abs(env.plant.x[0, 0]) < 0.2
+    assert np.isfinite(obs).all()
