@@ -69,9 +69,12 @@ class BipedControllerCore:
         self.gait_id = gait_id
         self.dtype = dtype
         self.robot: RobotSpec = get_robot(mpc_cfg.robot)
-        # The Pallas kernel implements the "tridiag" algorithm; other
-        # solver names map directly to pure-JAX backends.
-        backend = "tridiag" if mpc_cfg.solver == "pallas" else mpc_cfg.solver
+        # The Pallas kernel implements the "tridiag" algorithm (fast) or
+        # "tridiag_aug" (f32-robust, ~2.4x slower); other solver names map
+        # directly to pure-JAX backends.
+        backend = {"pallas": "tridiag", "pallas_aug": "tridiag_aug"}.get(
+            mpc_cfg.solver, mpc_cfg.solver
+        )
         self.opts = PdipmOptions(
             iterations=mpc_cfg.newton_iterations,
             beta=mpc_cfg.solver_beta,
@@ -218,7 +221,7 @@ class BipedControllerCore:
             state.dt_mpc, state.residual_lin_accel, state.residual_ang_accel,
         )
 
-        if self.mpc_cfg.solver == "pallas":
+        if self.mpc_cfg.solver in ("pallas", "pallas_aug"):
             from biped_pympc_tpu.ops import pdipm_pallas
 
             sol = pdipm_pallas.solve(qp, self.opts)

@@ -21,8 +21,11 @@ so the Riccati-style Thomas factorization runs per-stage Gauss-Jordan on
 26-wide blocks [u, nu, y] (partial pivoting via masked argmax — per-env pivot
 choices are data), with the Riccati xx-inverse in closed form
 (M = Q~^-1 + Q~^-1 N_yy Q~^-1). Two RHS per iteration plus optional
-iterative refinement; f32 end to end. Measured on v5e: 27.6 ms per batch-1024
-20-iteration solve (vs 3520 ms for the XLA jnp.linalg.inv path).
+iterative refinement; f32 end to end. A 42-wide augmented variant
+(opts.backend == "tridiag_aug") keeps the inequality duals in the stage block
+for the f32-robust accuracy mode. Measured on v5e, batch-1024 20-iteration
+solve: 27.6 ms (26-form) / 65.6 ms (42-form) vs 3520 ms for the XLA
+jnp.linalg.inv path.
 
 Block budget per 128-env tile (f32, lane-padded):
   stage inverses (10, 26, 26, 128)  ~3.7 MB
@@ -49,6 +52,15 @@ from biped_pympc_tpu.ops.qp import NU, NX, N_INEQ_PER_STAGE, N_MX_PER_STAGE, Sta
 # block (diagonal pivot Q+beta) is eliminated analytically before the GJ.
 _CY0 = 14  # start of the y rows in the condensed block
 SC = 26
+
+# Augmented condensed layout [u(12), z(16), nu(2), y(12)] = 42: keeps the
+# inequality duals in the stage block (no G^T W^-1 G condensation — the
+# f32-robust form, see ops/pdipm.py "tridiag_aug"), with the x block still
+# eliminated analytically. Selected with opts.backend == "tridiag_aug".
+_AZ0 = 12
+_ANU0 = 28
+_AY0 = 30
+SA_C = 42
 
 
 def _mv(mat, vec):
@@ -289,6 +301,110 @@ def _pdipm_kernel(
         dyv = jnp.concatenate([dy, dnu], axis=0)
         return dxz, dyv
 
+    # ------------------------------------------------------------------
+    # Augmented variant: z kept in the 42-wide stage block (f32-robust).
+    # ------------------------------------------------------------------
+
+    def factor_aug(w_diag):
+        """Like `factor` but with the inequality duals in the block; the
+        complementarity scaling -W sits on its own diagonal entries where
+        partial pivoting handles the extreme magnitudes cleanly."""
+        w_s = w_diag.reshape(T, N_INEQ_PER_STAGE, bt)
+        eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
+        zi = jax.lax.broadcasted_iota(jnp.int32, (N_INEQ_PER_STAGE, 1), 0)
+        zj = jax.lax.broadcasted_iota(
+            jnp.int32, (1, N_INEQ_PER_STAGE), 1
+        )
+        z_eye = (zi == zj).astype(dtype)[:, :, None]  # (16, 16, 1)
+
+        def stage(t, m_prev):
+            ru = eye12 * (r_diag[:, None, :] + opts.beta)
+            adm = _mm(ad, m_prev)
+            admadt = jnp.sum(adm[:, None, :, :] * ad[None, :, :, :], axis=2)
+            yy = -opts.delta * eye12 - admadt - eye12 * q_inv[:, None, :]
+            z_nu2 = -opts.delta * jnp.broadcast_to(
+                jnp.eye(N_MX_PER_STAGE, dtype=dtype)[:, :, None],
+                (N_MX_PER_STAGE, N_MX_PER_STAGE, bt),
+            )
+            ww = -z_eye * w_s[t][:, None, :]  # (16, 16, B) diag(-W_t)
+            zf = lambda r, c: jnp.zeros((r, c, bt), dtype)
+            gu_t = jnp.swapaxes(gu, 0, 1)  # (12, 16, B) = G_u^T
+            # rows [u, z, nu, y] x cols [u(12), z(16), nu(2), y(12)]
+            row_u = jnp.concatenate(
+                [ru, gu_t, jnp.swapaxes(e_sel, 0, 1), -jnp.swapaxes(bd, 0, 1)],
+                axis=1)
+            row_z = jnp.concatenate(
+                [gu, ww, zf(N_INEQ_PER_STAGE, N_MX_PER_STAGE),
+                 zf(N_INEQ_PER_STAGE, NX)], axis=1)
+            row_nu = jnp.concatenate(
+                [e_sel, zf(N_MX_PER_STAGE, N_INEQ_PER_STAGE), z_nu2,
+                 zf(N_MX_PER_STAGE, NX)], axis=1)
+            row_y = jnp.concatenate(
+                [-bd, zf(NX, N_INEQ_PER_STAGE), zf(NX, N_MX_PER_STAGE), yy],
+                axis=1)
+            s_mat = jnp.concatenate([row_u, row_z, row_nu, row_y], axis=0)
+
+            s_inv = _gj_inverse(s_mat)  # (SA_C, SA_C, B)
+            sinv_ref[t] = s_inv
+            nyy = s_inv[_AY0:, _AY0:, :]
+            return eye12 * q_inv[:, None, :] \
+                + q_inv[:, None, :] * nyy * q_inv[None, :, :]
+
+        m_prev = jnp.zeros((NX, NX, bt), dtype)
+        for t in range(T):
+            m_prev = stage(t, m_prev)
+
+    def thomas_solve_aug(r1, r_z, r4):
+        """Augmented two-sweep solve; returns (dxz, dz, dyv)."""
+        rx = r1[: NX * T].reshape(T, NX, bt)
+        ru = r1[NX * T:].reshape(T, NU, bt)
+        ry = r4[: NX * T].reshape(T, NX, bt)
+        rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE, bt)
+        rz = r_z.reshape(T, N_INEQ_PER_STAGE, bt)
+        ry_c = ry - q_inv[None] * rx
+        r = jnp.concatenate([ru, rz, rnu, ry_c], axis=1)  # (T, SA_C, B)
+
+        g_list = []
+        sol_prev_x = jnp.zeros((NX, bt), dtype)
+        for t in range(T):
+            r_t = r[t]
+            g_t = jnp.concatenate(
+                [r_t[:_AY0], r_t[_AY0:] + _mv(ad, sol_prev_x)], axis=0
+            )
+            g_list.append(g_t)
+            sol = _mv(sinv_ref[t], g_t)
+            sol_prev_x = q_inv * (rx[t] - sol[_AY0:, :])
+
+        w_list = [None] * T
+        x_list = [None] * T
+        w_y_next = jnp.zeros((NX, bt), dtype)
+        for t in range(T - 1, -1, -1):
+            adT_wy = jnp.sum(ad * w_y_next[:, None, :], axis=0)
+            g_t = g_list[t]
+            g_mod = jnp.concatenate(
+                [g_t[:_AY0], g_t[_AY0:] - q_inv * adT_wy], axis=0
+            )
+            w_t = _mv(sinv_ref[t], g_mod)
+            w_y = w_t[_AY0:, :]
+            x_list[t] = q_inv * (rx[t] + adT_wy - w_y)
+            w_list[t] = w_t
+            w_y_next = w_y
+        w = jnp.stack(w_list)
+        xs = jnp.stack(x_list)
+
+        du = w[:, :NU, :].reshape(NU * T, bt)
+        dzv = w[:, _AZ0:_ANU0, :].reshape(N_INEQ_PER_STAGE * T, bt)
+        dnu = w[:, _ANU0:_AY0, :].reshape(N_MX_PER_STAGE * T, bt)
+        dy = w[:, _AY0:, :].reshape(NX * T, bt)
+        dx = xs.reshape(NX * T, bt)
+        return (
+            jnp.concatenate([dx, du], axis=0),
+            dzv,
+            jnp.concatenate([dy, dnu], axis=0),
+        )
+
+    use_aug = opts.backend == "tridiag_aug"
+
     def iteration(_, carry):
         x, s, z, y, _res = carry
         rx = hd * x + f + gT_mv(z) + aT_mv(y)
@@ -299,19 +415,36 @@ def _pdipm_kernel(
         sigma_d = z / s + opts.delta
         w_inv = sigma_d / (1.0 + opts.delta * sigma_d)
 
-        factor(w_inv)
+        if use_aug:
+            w_diag = 1.0 / sigma_d + opts.delta  # W = Sigma^-1 + delta
+            factor_aug(w_diag)
 
-        def reduced_solve(r1, r2, r3, r4):
-            r1_hat = r1 + gT_mv(w_inv * (r3 - r2 / sigma_d))
-            dx, dy = thomas_solve(r1_hat, r4)
-            for _ in range(opts.refine_steps):
-                m1 = (hd + opts.beta) * dx + gT_mv(w_inv * g_mv(dx)) + aT_mv(dy)
-                m2 = a_mv(dx) - opts.delta * dy
-                ex, ey = thomas_solve(r1_hat - m1, r4 - m2)
-                dx, dy = dx + ex, dy + ey
-            dz = w_inv * (g_mv(dx) + r2 / sigma_d - r3)
-            ds = (r2 - dz) / sigma_d
-            return dx, ds, dz, dy
+            def reduced_solve(r1, r2, r3, r4):
+                r_z = r3 - r2 / sigma_d
+                dx, dz, dy = thomas_solve_aug(r1, r_z, r4)
+                for _ in range(opts.refine_steps):
+                    m1 = (hd + opts.beta) * dx + gT_mv(dz) + aT_mv(dy)
+                    mz = g_mv(dx) - w_diag * dz
+                    m4 = a_mv(dx) - opts.delta * dy
+                    ex, ez, ey = thomas_solve_aug(r1 - m1, r_z - mz, r4 - m4)
+                    dx, dz, dy = dx + ex, dz + ez, dy + ey
+                ds = (r2 - dz) / sigma_d
+                return dx, ds, dz, dy
+        else:
+            factor(w_inv)
+
+            def reduced_solve(r1, r2, r3, r4):
+                r1_hat = r1 + gT_mv(w_inv * (r3 - r2 / sigma_d))
+                dx, dy = thomas_solve(r1_hat, r4)
+                for _ in range(opts.refine_steps):
+                    m1 = (hd + opts.beta) * dx + gT_mv(w_inv * g_mv(dx)) \
+                        + aT_mv(dy)
+                    m2 = a_mv(dx) - opts.delta * dy
+                    ex, ey = thomas_solve(r1_hat - m1, r4 - m2)
+                    dx, dy = dx + ex, dy + ey
+                dz = w_inv * (g_mv(dx) + r2 / sigma_d - r3)
+                ds = (r2 - dz) / sigma_d
+                return dx, ds, dz, dy
 
         zero_nz = jnp.zeros_like(rx)
         zero_ni = jnp.zeros_like(s)
@@ -451,7 +584,13 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         ],
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((horizon, SC, SC, tile), dtype),
+            pltpu.VMEM(
+                (horizon,
+                 SA_C if opts.backend == "tridiag_aug" else SC,
+                 SA_C if opts.backend == "tridiag_aug" else SC,
+                 tile),
+                dtype,
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -45,3 +45,35 @@ def test_pallas_kernel_matches_jax_tridiag(interpret_pallas):
         np.asarray(res_k.residuals), np.asarray(ref.residuals),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_pallas_kernel_horizon20(interpret_pallas):
+    """The kernel is horizon-generic: T=20 blocks (480v/280eq/320ineq)."""
+    import test_horizon20 as h20
+
+    qp64 = h20._qp20()
+    qp = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), qp64)
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), qp, qp)
+    opts = pdipm.PdipmOptions(backend="tridiag", refine_steps=1, iterations=2)
+    res_k = pp.solve(batch, opts, tile=2)
+    ref = jax.vmap(lambda q: pdipm.solve(q, opts))(batch)
+    np.testing.assert_allclose(
+        np.asarray(res_k.x), np.asarray(ref.x), atol=5e-3
+    )
+
+
+def test_pallas_kernel_aug_backend(interpret_pallas):
+    """The 42-wide augmented kernel variant matches the JAX tridiag_aug path."""
+    qs = [_make_qp(seed=s, dtype=jnp.float32, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(
+        backend="tridiag_aug", refine_steps=1, iterations=2
+    )
+    res_k = pp.solve(batch, opts, tile=4)
+    ref = jax.vmap(lambda q: pdipm.solve(q, opts))(batch)
+    np.testing.assert_allclose(
+        np.asarray(res_k.x), np.asarray(ref.x), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_k.z), np.asarray(ref.z), atol=1e-4
+    )
