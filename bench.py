@@ -40,7 +40,9 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
-    mpc_cfg = MPCConf(solver="pallas")  # 20 Newton iters, fused Pallas kernel
+    solver = "pallas"  # fused kernel; falls back to the pure-JAX path if
+    # the Mosaic compile is unavailable on this runtime
+    mpc_cfg = MPCConf(solver=solver)
     core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
     state = core.init_state(batch)
 
@@ -72,7 +74,33 @@ def main():
         return outs
 
     t0 = time.perf_counter()
-    _ = np.asarray(chain(state))  # compile + first run
+    try:
+        _ = np.asarray(chain(state))  # compile + first run
+    except Exception as e:  # pragma: no cover - runtime-specific
+        print(f"# pallas path failed ({type(e).__name__}); falling back "
+              "to the pure-JAX solver", file=sys.stderr)
+        mpc_cfg = MPCConf(solver="tridiag_aug")
+        core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
+        state = core.init_state(batch)
+        state = core.set_command(
+            state,
+            jnp.asarray(rng.uniform(-0.3, 0.3, (batch, 3)).astype(np.float32)),
+            jnp.full((batch,), 0.55, dtype=jnp.float32),
+        )
+        state = core.ingest_state(state, jnp.asarray(obs))
+        state = state._replace(
+            gait_phase=jnp.asarray(rng.uniform(0, 1, batch).astype(np.float32))
+        )
+
+        @jax.jit
+        def chain(st):
+            def body(s, _):
+                s2, out = core.run_mpc(s)
+                return s2, out.grf_world[:, 2].sum()
+            _, outs = jax.lax.scan(body, st, None, length=chain_len)
+            return outs
+
+        _ = np.asarray(chain(state))
     compile_s = time.perf_counter() - t0
 
     reps = 3
