@@ -35,7 +35,10 @@ def main():
     import jax.numpy as jnp
 
     from biped_pympc_tpu.control.controller import BipedControllerCore
+    from biped_pympc_tpu.utils.cache import enable_compilation_cache
     from biped_pympc_tpu import ControllerConf, MPCConf
+
+    enable_compilation_cache()  # repeat runs compile in seconds
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 5
