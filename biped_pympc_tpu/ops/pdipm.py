@@ -98,13 +98,14 @@ class PdipmResult(NamedTuple):
 
 def init_state(qp: StageQP) -> PdipmState:
     """x=0, s=max(d - Gx, 1)=max(d, 1), z=1, y=1 (`mpc_controller_cusadi.py:138-141`)."""
-    dtype = qp.f.dtype
     d = qps.d_vec(qp)
+    # All fields derive from the QP data (not fresh constants) so they carry
+    # shard_map varying axes and loop carries typecheck under explicit SPMD.
     return PdipmState(
-        x=jnp.zeros(qp.nz, dtype=dtype),
+        x=0.0 * qp.f,
         s=jnp.maximum(d, 1.0),
-        z=jnp.ones(qp.n_ineq, dtype=dtype),
-        y=jnp.ones(qp.n_eq, dtype=dtype),
+        z=0.0 * d + 1.0,
+        y=0.0 * qps.b_vec(qp) + 1.0,
     )
 
 
@@ -237,8 +238,10 @@ def _factor_tridiag(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
         s_inv = inv(s_i)
         return s_inv[_SB_X:, _SB_X:], s_inv
 
-    zero = jnp.zeros((NX, NX), dtype=d.dtype)
     # First stage has no predecessor: seed the scan with a zero xx-inverse.
+    # (Derived from the data rather than a constant so the carry carries the
+    # same shard_map varying axes as the loop output.)
+    zero = 0.0 * d[0, _SB_X:, _SB_X:]
     _, s_invs = jax.lax.scan(step, zero, d)
     return s_invs  # (T, 38, 38)
 
@@ -279,9 +282,8 @@ def _solve_tridiag(qp: StageQP, s_invs, r1_hat, r4):
         g_i = r_i.at[_SB_Y:_SB_X].add(Ad @ sol_prev[_SB_X:])
         return (s_inv_i, g_i), g_i
 
-    dtype = r.dtype
-    zero_inv = jnp.zeros((SB, SB), dtype=dtype)
-    zero_g = jnp.zeros((SB,), dtype=dtype)
+    zero_inv = 0.0 * s_invs[0]
+    zero_g = 0.0 * r[0]
     (_, _), g = jax.lax.scan(fwd, (zero_inv, zero_g), (r, s_invs))
 
     # Backward: w_T = S_T^-1 g_T; w_i = S_i^-1 (g_i + C^T-correction):
@@ -293,7 +295,7 @@ def _solve_tridiag(qp: StageQP, s_invs, r1_hat, r4):
         w_i = s_inv_i @ g_mod
         return w_i, w_i
 
-    _, w_rev = jax.lax.scan(bwd, zero_g, (g, s_invs), reverse=True)
+    _, w_rev = jax.lax.scan(bwd, 0.0 * g[0], (g, s_invs), reverse=True)
     return _stage_to_canonical(qp, w_rev)
 
 
@@ -352,7 +354,7 @@ def _factor_tridiag_aug(qp: StageQP, w_diag: jnp.ndarray, opts: PdipmOptions):
         s_inv = inv(s_i)
         return s_inv[_SA_X:, _SA_X:], s_inv
 
-    zero = jnp.zeros((NX, NX), dtype=d.dtype)
+    zero = 0.0 * d[0, _SA_X:, _SA_X:]
     _, s_invs = jax.lax.scan(step, zero, d)
     return s_invs  # (T, 54, 54)
 
@@ -380,9 +382,8 @@ def _solve_tridiag_aug(qp: StageQP, s_invs, r1, r_z, r4):
         g_i = r_i.at[_SA_Y:_SA_X].add(Ad @ sol_prev[_SA_X:])
         return (s_inv_i, g_i), g_i
 
-    dtype = r.dtype
-    zero_inv = jnp.zeros((SA, SA), dtype=dtype)
-    zero_g = jnp.zeros((SA,), dtype=dtype)
+    zero_inv = 0.0 * s_invs[0]
+    zero_g = 0.0 * r[0]
     (_, _), g = jax.lax.scan(fwd, (zero_inv, zero_g), (r, s_invs))
 
     def bwd(w_next, inp):
@@ -391,7 +392,7 @@ def _solve_tridiag_aug(qp: StageQP, s_invs, r1, r_z, r4):
         w_i = s_inv_i @ g_mod
         return w_i, w_i
 
-    _, w = jax.lax.scan(bwd, zero_g, (g, s_invs), reverse=True)
+    _, w = jax.lax.scan(bwd, 0.0 * g[0], (g, s_invs), reverse=True)
 
     du = w[:, _SA_U:_SA_Z]
     dz = w[:, _SA_Z:_SA_NU]
@@ -527,7 +528,7 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         st, _ = carry
         return _iteration(qp, st, opts)
 
-    residuals0 = jnp.zeros(4, dtype=qp.f.dtype)
+    residuals0 = 0.0 * qp.f[:4]
     st, residuals = jax.lax.fori_loop(
         0, opts.iterations, body, (state, residuals0)
     )

@@ -66,6 +66,45 @@ def sharded_step(step_fn, mesh: Mesh):
     return jax.jit(wrapped)
 
 
+def shard_map_step(step_fn, mesh: Mesh, with_metrics: bool = True):
+    """Explicit-SPMD wrapper via `shard_map`: each device runs `step_fn` on
+    its shard of the env batch (all pytree leaves split on their leading
+    axis). Because per-env MPC solves are independent, the step body contains
+    no collectives; global scalar metrics are reduced with `pmean` over ICI
+    when `with_metrics` (the only cross-chip traffic in the system).
+
+    step_fn: (state, *args) -> (state, aux...) with aux[-1 if with_metrics]
+    expected to be a per-env (local_B,) cost-like array whose global mean is
+    returned alongside. Complements `sharded_step` (the GSPMD variant) with
+    the collectives spelled out.
+    """
+    try:
+        from jax import shard_map  # jax >= 0.6 top-level API
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    spec = P(DATA_AXIS)
+
+    def body(state, *args):
+        out = step_fn(state, *args)
+        if with_metrics:
+            # out = (new_state, tau, mpc_out) with mpc_out.cost (local_B,)
+            new_state, tau, mpc_out = out
+            global_mean_cost = jax.lax.pmean(
+                jnp.mean(mpc_out.cost), axis_name=DATA_AXIS
+            )
+            return new_state, tau, mpc_out, global_mean_cost
+        return out
+
+    mapped = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=(spec, spec, spec, P()) if with_metrics else spec,
+    )
+    return jax.jit(mapped)
+
+
 def metrics_summary(values: jnp.ndarray, mesh: Mesh):
     """Global scalar metrics over a sharded (B,) array — mean/max/p50.
 

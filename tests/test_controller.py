@@ -168,3 +168,34 @@ def test_sharded_step_matches_single_device():
         float(summary["mean"]), float(np.mean(np.asarray(out_single.cost))),
         rtol=1e-5,
     )
+
+
+def test_shard_map_step_matches_single_device():
+    """The explicit-SPMD (shard_map) step equals the unsharded one, with the
+    pmean-reduced global metric matching the batch mean."""
+    from biped_pympc_tpu.control.controller import BipedControllerCore
+    from biped_pympc_tpu.parallel import mesh as pmesh
+
+    assert jax.device_count() >= 8
+    core = BipedControllerCore(ControllerConf(), MPCConf(), gait_id=2)
+    B = 16
+    state = core.init_state(B)
+    obs = jnp.asarray(_hector_obs(B))
+    twist = jnp.zeros((B, 3), jnp.float32).at[:, 0].set(0.2)
+    height = jnp.full((B,), 0.55, jnp.float32)
+
+    _, tau_single, out_single = core.control_step(state, obs, twist, height)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    step = pmesh.shard_map_step(
+        lambda st, o, tw, h: core.control_step(st, o, tw, h), mesh
+    )
+    _, tau_sm, out_sm, mean_cost = step(
+        core.init_state(B), obs, twist, height
+    )
+    np.testing.assert_allclose(
+        np.asarray(tau_sm), np.asarray(tau_single), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(mean_cost), float(np.mean(np.asarray(out_single.cost))), rtol=1e-5
+    )
