@@ -42,7 +42,9 @@ class MPCConf:
     decimation: int = 10
     Q: Tuple[float, ...] = _DEFAULT_Q
     R: Tuple[float, ...] = _DEFAULT_R
-    solver: Literal["tridiag_aug", "tridiag", "dense", "pallas", "pallas_aug"] = "tridiag_aug"
+    solver: Literal[
+        "tridiag_aug", "tridiag", "dense", "bcr", "pallas", "pallas_aug"
+    ] = "tridiag_aug"
     robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
     # `mpc_controller_cusadi.py:28,144`).

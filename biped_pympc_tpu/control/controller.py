@@ -72,6 +72,13 @@ class BipedControllerCore:
         # The Pallas kernel implements the "tridiag" algorithm (fast) or
         # "tridiag_aug" (f32-robust, ~2.4x slower); other solver names map
         # directly to pure-JAX backends.
+        known = ("tridiag_aug", "tridiag", "dense", "bcr", "pallas",
+                 "pallas_aug")
+        if mpc_cfg.solver not in known:
+            raise ValueError(
+                f"unknown MPCConf.solver {mpc_cfg.solver!r}; expected one of "
+                f"{known}"
+            )
         backend = {"pallas": "tridiag", "pallas_aug": "tridiag_aug"}.get(
             mpc_cfg.solver, mpc_cfg.solver
         )

@@ -116,6 +116,14 @@ def test_reset_masks_only_selected_envs():
     assert not bool(np.asarray(ctrl.state.mpc_mem.first_run)[0])
 
 
+def test_unknown_solver_rejected():
+    """A typo'd solver name must fail loudly, not silently run tridiag."""
+    with pytest.raises(ValueError, match="unknown MPCConf.solver"):
+        MPCController(
+            ControllerConf(), MPCConf(solver="bcrr"), num_envs=1, gait_id=1
+        )
+
+
 def test_t1_standing():
     B = 2
     ctrl = MPCController(
