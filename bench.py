@@ -43,8 +43,13 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 5
 
-    solver = "pallas"  # fused kernel; falls back to the pure-JAX path if
-    # the Mosaic compile is unavailable on this runtime
+    # Fused kernel; falls back to the pure-JAX path if the Mosaic compile is
+    # unavailable on this runtime. Below ~1k envs the solve is latency-bound
+    # on the sequential elimination chain, where the log-depth cyclic
+    # reduction kernel wins (11.6 vs 18.0 ms full MPC at batch 256); at
+    # large batch the work-lean Thomas kernel wins (95.6 vs 110.8 ms at
+    # 4096) — measured on v5e, see BENCH.md.
+    solver = "pallas_bcr" if batch <= 512 else "pallas"
     mpc_cfg = MPCConf(solver=solver)
     core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
     state = core.init_state(batch)

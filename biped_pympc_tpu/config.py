@@ -43,7 +43,8 @@ class MPCConf:
     Q: Tuple[float, ...] = _DEFAULT_Q
     R: Tuple[float, ...] = _DEFAULT_R
     solver: Literal[
-        "tridiag_aug", "tridiag", "dense", "bcr", "pallas", "pallas_aug"
+        "tridiag_aug", "tridiag", "dense", "bcr",
+        "pallas", "pallas_aug", "pallas_bcr",
     ] = "tridiag_aug"
     robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,

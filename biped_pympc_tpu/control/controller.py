@@ -69,19 +69,21 @@ class BipedControllerCore:
         self.gait_id = gait_id
         self.dtype = dtype
         self.robot: RobotSpec = get_robot(mpc_cfg.robot)
-        # The Pallas kernel implements the "tridiag" algorithm (fast) or
-        # "tridiag_aug" (f32-robust, ~2.4x slower); other solver names map
-        # directly to pure-JAX backends.
+        # The Pallas kernel implements the "tridiag" algorithm (fast),
+        # "tridiag_aug" (f32-robust, ~2.4x slower) or "bcr" (log-depth
+        # cyclic reduction — lowest small-batch latency); other solver names
+        # map directly to pure-JAX backends.
         known = ("tridiag_aug", "tridiag", "dense", "bcr", "pallas",
-                 "pallas_aug")
+                 "pallas_aug", "pallas_bcr")
         if mpc_cfg.solver not in known:
             raise ValueError(
                 f"unknown MPCConf.solver {mpc_cfg.solver!r}; expected one of "
                 f"{known}"
             )
-        backend = {"pallas": "tridiag", "pallas_aug": "tridiag_aug"}.get(
-            mpc_cfg.solver, mpc_cfg.solver
-        )
+        backend = {
+            "pallas": "tridiag", "pallas_aug": "tridiag_aug",
+            "pallas_bcr": "bcr",
+        }.get(mpc_cfg.solver, mpc_cfg.solver)
         self.opts = PdipmOptions(
             iterations=mpc_cfg.newton_iterations,
             beta=mpc_cfg.solver_beta,
@@ -228,7 +230,7 @@ class BipedControllerCore:
             state.dt_mpc, state.residual_lin_accel, state.residual_ang_accel,
         )
 
-        if self.mpc_cfg.solver in ("pallas", "pallas_aug"):
+        if self.mpc_cfg.solver in ("pallas", "pallas_aug", "pallas_bcr"):
             from biped_pympc_tpu.ops import pdipm_pallas
 
             sol = pdipm_pallas.solve(qp, self.opts)
