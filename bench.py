@@ -41,15 +41,18 @@ def main():
     enable_compilation_cache()  # repeat runs compile in seconds
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    # Longer chains amortize the per-dispatch host<->device round-trip
+    # (~30 ms on the tunneled runtime): time/step = t_device + overhead/CH.
+    # CH=20 keeps the overhead contribution under ~2 ms at any batch.
+    chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
-    # Fused kernel; falls back to the pure-JAX path if the Mosaic compile is
-    # unavailable on this runtime. Below ~1k envs the solve is latency-bound
-    # on the sequential elimination chain, where the log-depth cyclic
-    # reduction kernel wins (11.6 vs 18.0 ms full MPC at batch 256); at
-    # large batch the work-lean Thomas kernel wins (95.6 vs 110.8 ms at
-    # 4096) — measured on v5e, see BENCH.md.
-    solver = "pallas_bcr" if batch <= 512 else "pallas"
+    # Fused Thomas-sweep kernel; falls back to the pure-JAX path if the
+    # Mosaic compile is unavailable on this runtime. Interleaved A/B showed
+    # it beats the log-depth cyclic-reduction variant ("pallas_bcr") at
+    # every batch size on v5e (8.3 vs 9.3 ms full MPC at batch 256, 25.4 vs
+    # 28.8 ms at 1024) — the kernel is throughput-bound at the VPU-tile
+    # level, not dependency-latency-bound; see BENCH.md.
+    solver = "pallas"
     mpc_cfg = MPCConf(solver=solver)
     core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
     state = core.init_state(batch)

@@ -25,11 +25,14 @@ iterative refinement; f32 end to end. A 42-wide augmented variant
 (opts.backend == "tridiag_aug") keeps the inequality duals in the stage block
 for the f32-robust accuracy mode, and a block-cyclic-reduction variant
 (opts.backend == "bcr") replaces the T-deep sequential Thomas sweep with
-ceil(log2 T)+1 levels of lane-batched inverses for the latency-bound
-small-batch regime (1.55x full-MPC win at batch 256). Measured on v5e,
-batch-1024 20-iteration solve: 27.6 ms (26-form) / 65.6 ms (42-form) vs
-3520 ms for the XLA jnp.linalg.inv path; see BENCH.md for the bcr-vs-Thomas
-crossover.
+ceil(log2 T)+1 levels of lane-batched inverses (each level's independent
+stage inverses concatenated along lanes into one GJ). Interleaved A/B on
+v5e showed the Thomas form faster at every batch size — the kernel is
+VPU-tile-throughput-bound, not dependency-latency-bound — so "tridiag"
+stays the default and "bcr" is kept as a tested variant whose depth
+advantage grows with horizon (log T vs T). Measured on v5e, batch-1024
+20-iteration solve: 27.6 ms (26-form) / 65.6 ms (42-form) vs 3520 ms for
+the XLA jnp.linalg.inv path; see BENCH.md.
 
 Block budget per 128-env tile (f32, lane-padded):
   stage inverses (10, 26, 26, 128)  ~3.7 MB
