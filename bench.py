@@ -46,13 +46,13 @@ def main():
     # CH=20 keeps the overhead contribution under ~2 ms at any batch.
     chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 20
 
-    # Fused Thomas-sweep kernel; falls back to the pure-JAX path if the
-    # Mosaic compile is unavailable on this runtime. Interleaved A/B showed
-    # it beats the log-depth cyclic-reduction variant ("pallas_bcr") at
-    # every batch size on v5e (8.3 vs 9.3 ms full MPC at batch 256, 25.4 vs
-    # 28.8 ms at 1024) — the kernel is throughput-bound at the VPU-tile
-    # level, not dependency-latency-bound; see BENCH.md.
-    solver = "pallas"
+    # Two-level condensed kernel ("ric"): lane-stacked per-stage [u, nu]
+    # inverses + a 12-wide sequential dual-Riccati y-chain. Interleaved A/B
+    # on v5e: 54.6 vs 89.4 ms (vs the Thomas kernel) at batch 4096, 6.1 vs
+    # 8.3 ms at 256, at the same f32 accuracy class; "pallas_ric_aug" is
+    # the f32-robust accuracy mode (see BENCH.md). Falls back to the
+    # pure-JAX path if the Mosaic compile is unavailable on this runtime.
+    solver = "pallas_ric"
     mpc_cfg = MPCConf(solver=solver)
     core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
     state = core.init_state(batch)

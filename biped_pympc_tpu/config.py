@@ -42,10 +42,14 @@ class MPCConf:
     decimation: int = 10
     Q: Tuple[float, ...] = _DEFAULT_Q
     R: Tuple[float, ...] = _DEFAULT_R
+    # Default: the two-level augmented backend — same f32-robust accuracy
+    # class as "tridiag_aug" (f64 golden parity ~2e-8) at a fraction of the
+    # factorization work. On TPU prefer the fused kernels: "pallas_ric"
+    # (fastest) or "pallas_ric_aug" (accuracy mode).
     solver: Literal[
-        "tridiag_aug", "tridiag", "dense", "bcr",
-        "pallas", "pallas_aug", "pallas_bcr",
-    ] = "tridiag_aug"
+        "tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
+        "pallas", "pallas_aug", "pallas_bcr", "pallas_ric", "pallas_ric_aug",
+    ] = "ric_aug"
     robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
     # `mpc_controller_cusadi.py:28,144`).

@@ -69,12 +69,20 @@ class BipedControllerCore:
         self.gait_id = gait_id
         self.dtype = dtype
         self.robot: RobotSpec = get_robot(mpc_cfg.robot)
-        # The Pallas kernel implements the "tridiag" algorithm (fast),
-        # "tridiag_aug" (f32-robust, ~2.4x slower) or "bcr" (log-depth
-        # cyclic reduction — lowest small-batch latency); other solver names
-        # map directly to pure-JAX backends.
-        known = ("tridiag_aug", "tridiag", "dense", "bcr", "pallas",
-                 "pallas_aug", "pallas_bcr")
+        # Pallas kernel algorithm menu (each also exists as a pure-JAX
+        # backend under the un-prefixed name):
+        #   pallas_ric     - two-level condensed: fastest (v5e interleaved
+        #                    A/B: 1.63x over "pallas" at batch 4096)
+        #   pallas_ric_aug - two-level augmented: f32-robust accuracy mode
+        #                    (~30x smaller GRF error tails), 1.5x faster
+        #                    than "pallas_aug"
+        #   pallas         - 26-wide Thomas sweep (previous default)
+        #   pallas_aug     - 42-wide augmented Thomas sweep
+        #   pallas_bcr     - log-depth cyclic reduction (kept for wide
+        #                    horizons; slower at T=10)
+        known = ("tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
+                 "pallas", "pallas_aug", "pallas_bcr", "pallas_ric",
+                 "pallas_ric_aug")
         if mpc_cfg.solver not in known:
             raise ValueError(
                 f"unknown MPCConf.solver {mpc_cfg.solver!r}; expected one of "
@@ -82,7 +90,8 @@ class BipedControllerCore:
             )
         backend = {
             "pallas": "tridiag", "pallas_aug": "tridiag_aug",
-            "pallas_bcr": "bcr",
+            "pallas_bcr": "bcr", "pallas_ric": "ric",
+            "pallas_ric_aug": "ric_aug",
         }.get(mpc_cfg.solver, mpc_cfg.solver)
         self.opts = PdipmOptions(
             iterations=mpc_cfg.newton_iterations,
@@ -230,7 +239,7 @@ class BipedControllerCore:
             state.dt_mpc, state.residual_lin_accel, state.residual_ang_accel,
         )
 
-        if self.mpc_cfg.solver in ("pallas", "pallas_aug", "pallas_bcr"):
+        if self.mpc_cfg.solver.startswith("pallas"):
             from biped_pympc_tpu.ops import pdipm_pallas
 
             sol = pdipm_pallas.solve(qp, self.opts)

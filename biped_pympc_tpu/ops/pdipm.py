@@ -557,6 +557,224 @@ def _solve_bcr(qp: StageQP, factors, r1: jnp.ndarray, r4: jnp.ndarray):
     return dxz, dyv
 
 
+# --- Two-level condensed backend ("ric") ------------------------------------
+#
+# Work-minimal factorization of the same condensed 26-wide stage-tridiagonal
+# the BCR backend derives: per stage, the [u (12), nu (2)] block
+#
+#     K_t = [[R~_t, e^T], [e, -delta I]]        (14x14, quasi-definite)
+#
+# couples to the dual y_t only through F = [-Bd, 0], and all T K_t inverses
+# are INDEPENDENT (batchable). Eliminating [u, nu] leaves a pure y-chain
+# 12x12 block-tridiagonal with static coupling S = Q~^-1 Ad^T:
+#
+#     Y'_t = Y_t - Bd (K_t^-1)_uu Bd^T,  Y_t = -dI - Q~^-1 - Ad Q~^-1 Ad^T[t>=1]
+#     Yhat_t = Y'_t - S^T Yhat_{t-1}^-1 S        (dual Riccati, sequential)
+#
+# vs the 26-wide Thomas sweep this cuts the sequential elimination to 12-wide
+# inverses (~5x less sequential work) and batches the rest — the layout the
+# Pallas "ric" kernel implements with stages lane-concatenated.
+
+_E_SEL_ROWS = ((0, 6), (1, 9))  # Mx selector: e[0, 6] = e[1, 9] = 1
+NUN = NU + N_MX_PER_STAGE  # 14
+
+
+def _factor_ric(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
+    T = qp.horizon
+    dtype = qp.f.dtype
+    Ad, Bd, _ = qp.dyn
+    q_inv = 1.0 / (qp.q_diag + opts.beta)
+
+    inv = gauss_jordan_inverse if opts.inv_impl == "gj" else jnp.linalg.inv
+
+    ru = _stage_hessians(qp, w_inv, opts)  # (T, 12, 12) R~
+    e = jnp.zeros((N_MX_PER_STAGE, NU), dtype=dtype)
+    for r, c in _E_SEL_ROWS:
+        e = e.at[r, c].set(1.0)
+    k = jnp.zeros((T, NUN, NUN), dtype=dtype)
+    k = k.at[:, :NU, :NU].set(ru)
+    k = k.at[:, :NU, NU:].set(e.T[None])
+    k = k.at[:, NU:, :NU].set(e[None])
+    k = k.at[:, NU:, NU:].set(
+        -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
+    )
+    k_inv = jax.vmap(inv)(k)  # (T, 14, 14) — independent across stages
+
+    y_blk = -opts.delta * jnp.eye(NX, dtype=dtype) - jnp.diag(q_inv)
+    adqad = Ad @ jnp.diag(q_inv) @ Ad.T
+    yp = jnp.broadcast_to(y_blk, (T, NX, NX)) - jnp.where(
+        jnp.arange(T)[:, None, None] >= 1, adqad[None], 0.0
+    )
+    kuu = k_inv[:, :NU, :NU]
+    yp = yp - jnp.einsum("ij,tjk,lk->til", Bd, kuu, Bd)
+
+    s_coup = jnp.diag(q_inv) @ Ad.T  # S = Q~^-1 Ad^T
+
+    def chain(m_prev_inv, yp_t):
+        yhat = yp_t - s_coup.T @ m_prev_inv @ s_coup
+        yhat_inv = inv(yhat)
+        return yhat_inv, yhat_inv
+
+    _, yhat_inv = jax.lax.scan(chain, 0.0 * yp[0], yp)
+    return k_inv, yhat_inv, q_inv, s_coup
+
+
+def _solve_ric(qp: StageQP, factors, r1: jnp.ndarray, r4: jnp.ndarray):
+    T = qp.horizon
+    Ad, Bd, _ = qp.dyn
+    k_inv, yhat_inv, q_inv, s_coup = factors
+
+    r, c = _pack_condensed(qp, r1, r4, q_inv)  # (T, 26), (T, 12)
+    r_un = r[:, :NUN]
+    r_y = r[:, NUN:]
+
+    # Fold [u, nu] rhs into the y rows: r'_y = r_y - F K^-1 r_un, F = [-Bd, 0].
+    kr = jnp.einsum("tij,tj->ti", k_inv, r_un)
+    r_y2 = r_y + kr[:, :NU] @ Bd.T
+
+    def fwd(carry, inp):
+        prev_inv, g_prev = carry
+        r_t, yinv_t = inp
+        g_t = r_t - s_coup.T @ (prev_inv @ g_prev)
+        return (yinv_t, g_t), g_t
+
+    (_, _), g = jax.lax.scan(
+        fwd, (0.0 * yhat_inv[0], 0.0 * r_y2[0]), (r_y2, yhat_inv)
+    )
+
+    def bwd(y_next, inp):
+        g_t, yinv_t = inp
+        y_t = yinv_t @ (g_t - s_coup @ y_next)
+        return y_t, y_t
+
+    _, wy = jax.lax.scan(bwd, 0.0 * g[0], (g, yhat_inv), reverse=True)
+
+    # Back-substitute [u, nu]: un_t = K^-1 (r_un - F^T y_t).
+    rhs_un = jnp.concatenate([r_un[:, :NU] + wy @ Bd, r_un[:, NU:]], axis=1)
+    un = jnp.einsum("tij,tj->ti", k_inv, rhs_un)
+
+    # x recovery: x_{t+1} = Q~^-1 (c_t - y_t + Ad^T y_{t+1}).
+    xs = q_inv[None] * (c - wy)
+    xs = xs.at[:-1].add(q_inv[None] * (wy[1:] @ Ad))
+
+    dxz = jnp.concatenate([xs.reshape(-1), un[:, :NU].reshape(-1)])
+    dyv = jnp.concatenate([wy.reshape(-1), un[:, NU:].reshape(-1)])
+    return dxz, dyv
+
+
+# --- Two-level augmented backend ("ric_aug") ---------------------------------
+#
+# The "ric" split applied to the AUGMENTED (no G^T W^-1 G condensation) form:
+# per stage the [u (12), z (16), nu (2)] block
+#
+#     K_t = [[R+beta, G_u^T, e^T], [G_u, -W_t, 0], [e, 0, -delta I]]  (30x30)
+#
+# keeps every extreme scale (W up to ~1e8, -delta = -1e-8) on its own
+# diagonal where pivoted elimination handles it cleanly — the f32-robustness
+# property of "tridiag_aug" — while all T K_t inverses stay independent
+# (lane-batchable) and the sequential part is the same 12-wide y-chain as
+# "ric". Accuracy class of tridiag_aug at a fraction of its work.
+
+N_KA = NU + N_INEQ_PER_STAGE + N_MX_PER_STAGE  # 30
+
+
+def _factor_ric_aug(qp: StageQP, w_diag: jnp.ndarray, opts: PdipmOptions):
+    """w_diag: (T, 16) = Sigma^-1 + delta per inequality row."""
+    T = qp.horizon
+    dtype = qp.f.dtype
+    Ad, Bd, _ = qp.dyn
+    q_inv = 1.0 / (qp.q_diag + opts.beta)
+
+    inv = gauss_jordan_inverse if opts.inv_impl == "gj" else jnp.linalg.inv
+
+    e = jnp.zeros((N_MX_PER_STAGE, NU), dtype=dtype)
+    for r, c in _E_SEL_ROWS:
+        e = e.at[r, c].set(1.0)
+    z0 = NU
+    n0 = NU + N_INEQ_PER_STAGE
+    k = jnp.zeros((T, N_KA, N_KA), dtype=dtype)
+    k = k.at[:, :NU, :NU].set(jnp.diag(qp.r_diag + opts.beta)[None])
+    k = k.at[:, :NU, z0:n0].set(qp.g_u.T[None])
+    k = k.at[:, z0:n0, :NU].set(qp.g_u[None])
+    zi = jnp.arange(N_INEQ_PER_STAGE)
+    k = k.at[:, z0 + zi, z0 + zi].set(-w_diag)
+    k = k.at[:, :NU, n0:].set(e.T[None])
+    k = k.at[:, n0:, :NU].set(e[None])
+    k = k.at[:, n0:, n0:].set(
+        -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
+    )
+    k_inv = jax.vmap(inv)(k)  # (T, 30, 30) — independent across stages
+
+    y_blk = -opts.delta * jnp.eye(NX, dtype=dtype) - jnp.diag(q_inv)
+    adqad = Ad @ jnp.diag(q_inv) @ Ad.T
+    yp = jnp.broadcast_to(y_blk, (T, NX, NX)) - jnp.where(
+        jnp.arange(T)[:, None, None] >= 1, adqad[None], 0.0
+    )
+    kuu = k_inv[:, :NU, :NU]
+    yp = yp - jnp.einsum("ij,tjk,lk->til", Bd, kuu, Bd)
+
+    s_coup = jnp.diag(q_inv) @ Ad.T
+
+    def chain(m_prev_inv, yp_t):
+        yhat = yp_t - s_coup.T @ m_prev_inv @ s_coup
+        yhat_inv = inv(yhat)
+        return yhat_inv, yhat_inv
+
+    _, yhat_inv = jax.lax.scan(chain, 0.0 * yp[0], yp)
+    return k_inv, yhat_inv, q_inv, s_coup
+
+
+def _solve_ric_aug(qp: StageQP, factors, r1, r_z, r4):
+    """Returns (dxz (nz,), dz (ni,), dyv (ne,)) like `_solve_tridiag_aug`."""
+    T = qp.horizon
+    Ad, Bd, _ = qp.dyn
+    k_inv, yhat_inv, q_inv, s_coup = factors
+
+    c = r1[: NX * T].reshape(T, NX)
+    ru = r1[NX * T:].reshape(T, NU)
+    g = r4[: NX * T].reshape(T, NX)
+    rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE)
+    rz = r_z.reshape(T, N_INEQ_PER_STAGE)
+    ry = g - q_inv[None] * c
+    ry = ry.at[1:].add((Ad @ (q_inv[:, None] * c[:-1].T)).T)
+
+    r_un = jnp.concatenate([ru, rz, rnu], axis=1)  # (T, 30)
+    kr = jnp.einsum("tij,tj->ti", k_inv, r_un)
+    r_y2 = ry + kr[:, :NU] @ Bd.T
+
+    def fwd(carry, inp):
+        prev_inv, g_prev = carry
+        r_t, yinv_t = inp
+        g_t = r_t - s_coup.T @ (prev_inv @ g_prev)
+        return (yinv_t, g_t), g_t
+
+    (_, _), gg = jax.lax.scan(
+        fwd, (0.0 * yhat_inv[0], 0.0 * r_y2[0]), (r_y2, yhat_inv)
+    )
+
+    def bwd(y_next, inp):
+        g_t, yinv_t = inp
+        y_t = yinv_t @ (g_t - s_coup @ y_next)
+        return y_t, y_t
+
+    _, wy = jax.lax.scan(bwd, 0.0 * gg[0], (gg, yhat_inv), reverse=True)
+
+    rhs_un = jnp.concatenate(
+        [r_un[:, :NU] + wy @ Bd, r_un[:, NU:]], axis=1
+    )
+    un = jnp.einsum("tij,tj->ti", k_inv, rhs_un)
+
+    xs = q_inv[None] * (c - wy)
+    xs = xs.at[:-1].add(q_inv[None] * (wy[1:] @ Ad))
+
+    dxz = jnp.concatenate([xs.reshape(-1), un[:, :NU].reshape(-1)])
+    dz = un[:, NU: NU + N_INEQ_PER_STAGE].reshape(-1)
+    dyv = jnp.concatenate(
+        [wy.reshape(-1), un[:, NU + N_INEQ_PER_STAGE:].reshape(-1)]
+    )
+    return dxz, dz, dyv
+
+
 # ---------------------------------------------------------------------------
 # Main iteration.
 # ---------------------------------------------------------------------------
@@ -578,23 +796,28 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
     if opts.sigma_cap > 0.0:
         sigma_d = jnp.minimum(sigma_d, opts.sigma_cap)
 
-    if opts.backend == "tridiag_aug":
+    if opts.backend in ("tridiag_aug", "ric_aug"):
         w_diag = 1.0 / sigma_d + opts.delta  # W = Sigma^-1 + delta
-        factors = _factor_tridiag_aug(
-            qp, w_diag.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
-        )
+        if opts.backend == "ric_aug":
+            factors = _factor_ric_aug(
+                qp, w_diag.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
+            )
+            solve_aug = functools.partial(_solve_ric_aug, qp, factors)
+        else:
+            factors = _factor_tridiag_aug(
+                qp, w_diag.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
+            )
+            solve_aug = functools.partial(_solve_tridiag_aug, qp, factors)
 
         def reduced_solve(r1, r2, r3, r4):
             r_z = r3 - r2 / sigma_d
-            dx, dz, dy = _solve_tridiag_aug(qp, factors, r1, r_z, r4)
+            dx, dz, dy = solve_aug(r1, r_z, r4)
             for _ in range(opts.refine_steps):
                 m1 = (hd + opts.beta) * dx + qps.gT_matvec(qp, dz) \
                     + qps.aT_matvec(qp, dy)
                 mz = qps.g_matvec(qp, dx) - w_diag * dz
                 m4 = qps.a_matvec(qp, dx) - opts.delta * dy
-                ex, ez, ey = _solve_tridiag_aug(
-                    qp, factors, r1 - m1, r_z - mz, r4 - m4
-                )
+                ex, ez, ey = solve_aug(r1 - m1, r_z - mz, r4 - m4)
                 dx, dz, dy = dx + ex, dz + ez, dy + ey
             ds = (r2 - dz) / sigma_d
             return dx, ds, dz, dy
@@ -611,6 +834,11 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
                 qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
             )
             solve = functools.partial(_solve_bcr, qp, factors)
+        elif opts.backend == "ric":
+            factors = _factor_ric(
+                qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
+            )
+            solve = functools.partial(_solve_ric, qp, factors)
         else:
             factors = _factor_tridiag(
                 qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts

@@ -460,6 +460,261 @@ def _pdipm_kernel(
         )
 
     # ------------------------------------------------------------------
+    # Two-level condensed variant (opts.backend == "ric"): work-minimal.
+    #
+    # The kernel is VPU-tile-throughput-bound (measured: lane-stacked BCR's
+    # depth win was exactly offset by its extra tiles), so the lever is
+    # total elimination work. Per stage the [u (12), nu (2)] block K_t
+    # couples to the dual y_t only through F = [-Bd, 0]; all T K_t inverses
+    # are independent and are lane-concatenated into ONE 14-wide GJ.
+    # Eliminating [u, nu] leaves a pure y-chain 12x12 block-tridiagonal
+    # (static coupling S = Q~^-1 Ad^T) factored by a sequential dual-Riccati
+    # sweep of 12-wide inverses — ~5x less sequential work than the 26-wide
+    # Thomas sweep and ~2x fewer total elimination flops. Validated against
+    # the pure-JAX "ric" backend (which matches the golden solver).
+    # ------------------------------------------------------------------
+
+    def split_lanes(x, n):
+        return [x[..., i * bt: (i + 1) * bt] for i in range(n)]
+
+    def factor_ric(w_inv):
+        """Returns (k_inv_st (14,14,T*bt), yhat_inv list of T (12,12,bt),
+        s_coup (12,12,bt), bd_st (12,12,T*bt)) — all values, no scratch."""
+        w_s = w_inv.reshape(T, N_INEQ_PER_STAGE, bt)
+        eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
+        z_nu2 = -opts.delta * jnp.broadcast_to(
+            jnp.eye(N_MX_PER_STAGE, dtype=dtype)[:, :, None],
+            (N_MX_PER_STAGE, N_MX_PER_STAGE, bt),
+        )
+
+        ks = []
+        for t in range(T):
+            gtwg = jnp.sum(
+                gu[:, :, None, :] * gu[:, None, :, :] * w_s[t][:, None, None, :],
+                axis=0,
+            )
+            ru_b = gtwg + eye12 * (r_diag[:, None, :] + opts.beta)
+            row_u = jnp.concatenate([ru_b, jnp.swapaxes(e_sel, 0, 1)], axis=1)
+            row_nu = jnp.concatenate([e_sel, z_nu2], axis=1)
+            ks.append(jnp.concatenate([row_u, row_nu], axis=0))
+        k_inv_st = _gj_inverse(jnp.concatenate(ks, axis=-1))  # (14,14,T*bt)
+
+        # Y'_t = Y_t - Bd (K_t^-1)_uu Bd^T, batched across stages in lanes.
+        kuu_st = k_inv_st[:NU, :NU, :]
+        bd_st = jnp.concatenate([bd] * T, axis=-1)
+        bkb_st = _mm(_mm(bd_st, kuu_st), jnp.swapaxes(bd_st, 0, 1))
+        bkb = split_lanes(bkb_st, T)
+
+        adq = ad * q_inv[None, :, :]
+        adqad = jnp.sum(adq[:, None, :, :] * ad[None, :, :, :], axis=2)
+        s_coup = q_inv[:, None, :] * jnp.swapaxes(ad, 0, 1)  # Q~^-1 Ad^T
+        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
+
+        yhat_inv = []
+        m_prev = None
+        for t in range(T):
+            yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
+            if t >= 1:
+                yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
+            m_prev = _gj_inverse(yy)
+            yhat_inv.append(m_prev)
+        return k_inv_st, yhat_inv, s_coup, bd_st
+
+    def ric_solve(r1_hat, r4, k_inv_st, yhat_inv, s_coup, bd_st):
+        """Fold rhs onto the y-chain, two 12-wide sweeps, back-substitute."""
+        rx = r1_hat[: NX * T].reshape(T, NX, bt)
+        ru_r = r1_hat[NX * T:].reshape(T, NU, bt)
+        ry = r4[: NX * T].reshape(T, NX, bt)
+        rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE, bt)
+
+        adq = ad * q_inv[None, :, :]
+        ry_c = ry - q_inv[None] * rx
+        shift = jnp.sum(adq[None] * rx[:, None, :, :], axis=2)  # Ad Q~^-1 c_t
+        ry_c = jnp.concatenate([ry_c[:1], ry_c[1:] + shift[:-1]], axis=0)
+
+        r_un = jnp.concatenate([ru_r, rnu], axis=1)  # (T, 14, bt)
+        r_un_st = jnp.concatenate([r_un[t] for t in range(T)], axis=-1)
+        kr_st = _mv(k_inv_st, r_un_st)  # (14, T*bt)
+        # r'_y = r_y - F K^-1 r_un = r_y + Bd (K^-1 r_un)_u
+        ry2_st = jnp.concatenate(
+            [ry_c[t] for t in range(T)], axis=-1
+        ) + _mv(bd_st, kr_st[:NU])
+        ry2 = split_lanes(ry2_st, T)
+
+        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
+        g = []
+        g_prev = None
+        for t in range(T):
+            if g_prev is None:
+                g_t = ry2[t]
+            else:
+                g_t = ry2[t] - _mv(s_coup_t, _mv(yhat_inv[t - 1], g_prev))
+            g.append(g_t)
+            g_prev = g_t
+
+        wy = [None] * T
+        y_next = None
+        for t in range(T - 1, -1, -1):
+            rhs = g[t] if y_next is None else g[t] - _mv(s_coup, y_next)
+            y_next = _mv(yhat_inv[t], rhs)
+            wy[t] = y_next
+        wy_arr = jnp.stack(wy)  # (T, 12, bt)
+        wy_st = jnp.concatenate(wy, axis=-1)  # (12, T*bt)
+
+        # un_t = K^-1 (r_un - F^T y_t) = K^-1 [r_u + Bd^T y_t ; r_nu]
+        btwy_st = _mv(jnp.swapaxes(bd_st, 0, 1), wy_st)
+        rhs_un_st = jnp.concatenate(
+            [r_un_st[:NU] + btwy_st, r_un_st[NU:]], axis=0
+        )
+        un_st = _mv(k_inv_st, rhs_un_st)  # (14, T*bt)
+        un = split_lanes(un_st, T)
+
+        xs = q_inv[None] * (rx - wy_arr)
+        adTwy = jnp.sum(ad[None] * wy_arr[:, :, None, :], axis=1)
+        xs = jnp.concatenate(
+            [xs[:-1] + q_inv[None] * adTwy[1:], xs[-1:]], axis=0
+        )
+
+        du = jnp.stack([u[:NU] for u in un]).reshape(NU * T, bt)
+        dnu = jnp.stack([u[NU:] for u in un]).reshape(N_MX_PER_STAGE * T, bt)
+        dy = wy_arr.reshape(NX * T, bt)
+        dx = xs.reshape(NX * T, bt)
+        return (
+            jnp.concatenate([dx, du], axis=0),
+            jnp.concatenate([dy, dnu], axis=0),
+        )
+
+    # ------------------------------------------------------------------
+    # Two-level AUGMENTED variant (opts.backend == "ric_aug"): the "ric"
+    # split applied without the G^T W^-1 G condensation. Per stage the
+    # 30-wide [u, z, nu] block keeps W (~1e8) and -delta (1e-8) on their
+    # own pivoted diagonals (the f32-robustness property of tridiag_aug);
+    # all T inverses run as ONE lane-stacked GJ, and the sequential part
+    # is the same 12-wide y-chain as "ric". tridiag_aug accuracy class at
+    # a fraction of its work.
+    # ------------------------------------------------------------------
+
+    NKA = NU + N_INEQ_PER_STAGE + N_MX_PER_STAGE  # 30
+    _KZ0 = NU
+    _KN0 = NU + N_INEQ_PER_STAGE
+
+    def factor_ric_aug(w_diag):
+        """Returns (k_inv_st (30,30,T*bt), yhat_inv list, s_coup, bd_st)."""
+        w_s = w_diag.reshape(T, N_INEQ_PER_STAGE, bt)
+        eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
+        z_nu2 = -opts.delta * jnp.broadcast_to(
+            jnp.eye(N_MX_PER_STAGE, dtype=dtype)[:, :, None],
+            (N_MX_PER_STAGE, N_MX_PER_STAGE, bt),
+        )
+        zi = jax.lax.broadcasted_iota(jnp.int32, (N_INEQ_PER_STAGE, 1), 0)
+        zj = jax.lax.broadcasted_iota(jnp.int32, (1, N_INEQ_PER_STAGE), 1)
+        z_eye = (zi == zj).astype(dtype)[:, :, None]
+        zf = lambda r, c: jnp.zeros((r, c, bt), dtype)
+        gu_t = jnp.swapaxes(gu, 0, 1)  # (12, 16, B) = G_u^T
+        ru_b = eye12 * (r_diag[:, None, :] + opts.beta)
+
+        ks = []
+        for t in range(T):
+            ww = -z_eye * w_s[t][:, None, :]  # diag(-W_t)
+            row_u = jnp.concatenate(
+                [ru_b, gu_t, jnp.swapaxes(e_sel, 0, 1)], axis=1)
+            row_z = jnp.concatenate(
+                [gu, ww, zf(N_INEQ_PER_STAGE, N_MX_PER_STAGE)], axis=1)
+            row_nu = jnp.concatenate(
+                [e_sel, zf(N_MX_PER_STAGE, N_INEQ_PER_STAGE), z_nu2], axis=1)
+            ks.append(jnp.concatenate([row_u, row_z, row_nu], axis=0))
+        k_inv_st = _gj_inverse(jnp.concatenate(ks, axis=-1))  # (30,30,T*bt)
+
+        kuu_st = k_inv_st[:NU, :NU, :]
+        bd_st = jnp.concatenate([bd] * T, axis=-1)
+        bkb_st = _mm(_mm(bd_st, kuu_st), jnp.swapaxes(bd_st, 0, 1))
+        bkb = split_lanes(bkb_st, T)
+
+        adq = ad * q_inv[None, :, :]
+        adqad = jnp.sum(adq[:, None, :, :] * ad[None, :, :, :], axis=2)
+        s_coup = q_inv[:, None, :] * jnp.swapaxes(ad, 0, 1)
+        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
+
+        yhat_inv = []
+        m_prev = None
+        for t in range(T):
+            yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
+            if t >= 1:
+                yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
+            m_prev = _gj_inverse(yy)
+            yhat_inv.append(m_prev)
+        return k_inv_st, yhat_inv, s_coup, bd_st
+
+    def ric_solve_aug(r1, r_z, r4, k_inv_st, yhat_inv, s_coup, bd_st):
+        """Returns (dxz, dz, dyv) — the augmented-interface solve."""
+        rx = r1[: NX * T].reshape(T, NX, bt)
+        ru_r = r1[NX * T:].reshape(T, NU, bt)
+        ry = r4[: NX * T].reshape(T, NX, bt)
+        rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE, bt)
+        rz = r_z.reshape(T, N_INEQ_PER_STAGE, bt)
+
+        adq = ad * q_inv[None, :, :]
+        ry_c = ry - q_inv[None] * rx
+        shift = jnp.sum(adq[None] * rx[:, None, :, :], axis=2)
+        ry_c = jnp.concatenate([ry_c[:1], ry_c[1:] + shift[:-1]], axis=0)
+
+        r_un = jnp.concatenate([ru_r, rz, rnu], axis=1)  # (T, 30, bt)
+        r_un_st = jnp.concatenate([r_un[t] for t in range(T)], axis=-1)
+        kr_st = _mv(k_inv_st, r_un_st)
+        ry2_st = jnp.concatenate(
+            [ry_c[t] for t in range(T)], axis=-1
+        ) + _mv(bd_st, kr_st[:NU])
+        ry2 = split_lanes(ry2_st, T)
+
+        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
+        g = []
+        g_prev = None
+        for t in range(T):
+            if g_prev is None:
+                g_t = ry2[t]
+            else:
+                g_t = ry2[t] - _mv(s_coup_t, _mv(yhat_inv[t - 1], g_prev))
+            g.append(g_t)
+            g_prev = g_t
+
+        wy = [None] * T
+        y_next = None
+        for t in range(T - 1, -1, -1):
+            rhs = g[t] if y_next is None else g[t] - _mv(s_coup, y_next)
+            y_next = _mv(yhat_inv[t], rhs)
+            wy[t] = y_next
+        wy_arr = jnp.stack(wy)
+        wy_st = jnp.concatenate(wy, axis=-1)
+
+        btwy_st = _mv(jnp.swapaxes(bd_st, 0, 1), wy_st)
+        rhs_un_st = jnp.concatenate(
+            [r_un_st[:NU] + btwy_st, r_un_st[NU:]], axis=0
+        )
+        un_st = _mv(k_inv_st, rhs_un_st)
+        un = split_lanes(un_st, T)
+
+        xs = q_inv[None] * (rx - wy_arr)
+        adTwy = jnp.sum(ad[None] * wy_arr[:, :, None, :], axis=1)
+        xs = jnp.concatenate(
+            [xs[:-1] + q_inv[None] * adTwy[1:], xs[-1:]], axis=0
+        )
+
+        du = jnp.stack([u[:NU] for u in un]).reshape(NU * T, bt)
+        dzv = jnp.stack([u[_KZ0:_KN0] for u in un]).reshape(
+            N_INEQ_PER_STAGE * T, bt
+        )
+        dnu = jnp.stack([u[_KN0:] for u in un]).reshape(
+            N_MX_PER_STAGE * T, bt
+        )
+        dy = wy_arr.reshape(NX * T, bt)
+        dx = xs.reshape(NX * T, bt)
+        return (
+            jnp.concatenate([dx, du], axis=0),
+            dzv,
+            jnp.concatenate([dy, dnu], axis=0),
+        )
+
+    # ------------------------------------------------------------------
     # Augmented variant: z kept in the 42-wide stage block (f32-robust).
     # ------------------------------------------------------------------
 
@@ -563,6 +818,8 @@ def _pdipm_kernel(
 
     use_aug = opts.backend == "tridiag_aug"
     use_bcr = opts.backend == "bcr"
+    use_ric = opts.backend == "ric"
+    use_ric_aug = opts.backend == "ric_aug"
 
     def iteration(_, carry):
         x, s, z, y, _res = carry
@@ -574,34 +831,46 @@ def _pdipm_kernel(
         sigma_d = z / s + opts.delta
         w_inv = sigma_d / (1.0 + opts.delta * sigma_d)
 
-        if use_bcr:
-            factors_bcr = factor_bcr(w_inv)
+        if use_bcr or use_ric:
+            if use_ric:
+                factors = factor_ric(w_inv)
+                solve_fn = ric_solve
+            else:
+                factors = factor_bcr(w_inv)
+                solve_fn = bcr_solve
 
             def reduced_solve(r1, r2, r3, r4):
                 r1_hat = r1 + gT_mv(w_inv * (r3 - r2 / sigma_d))
-                dx, dy = bcr_solve(r1_hat, r4, *factors_bcr)
+                dx, dy = solve_fn(r1_hat, r4, *factors)
                 for _ in range(opts.refine_steps):
                     m1 = (hd + opts.beta) * dx + gT_mv(w_inv * g_mv(dx)) \
                         + aT_mv(dy)
                     m2 = a_mv(dx) - opts.delta * dy
-                    ex, ey = bcr_solve(r1_hat - m1, r4 - m2, *factors_bcr)
+                    ex, ey = solve_fn(r1_hat - m1, r4 - m2, *factors)
                     dx, dy = dx + ex, dy + ey
                 dz = w_inv * (g_mv(dx) + r2 / sigma_d - r3)
                 ds = (r2 - dz) / sigma_d
                 return dx, ds, dz, dy
 
-        elif use_aug:
+        elif use_aug or use_ric_aug:
             w_diag = 1.0 / sigma_d + opts.delta  # W = Sigma^-1 + delta
-            factor_aug(w_diag)
+            if use_ric_aug:
+                factors_ra = factor_ric_aug(w_diag)
+                solve_aug_fn = lambda r1, r_z, r4: ric_solve_aug(
+                    r1, r_z, r4, *factors_ra
+                )
+            else:
+                factor_aug(w_diag)
+                solve_aug_fn = thomas_solve_aug
 
             def reduced_solve(r1, r2, r3, r4):
                 r_z = r3 - r2 / sigma_d
-                dx, dz, dy = thomas_solve_aug(r1, r_z, r4)
+                dx, dz, dy = solve_aug_fn(r1, r_z, r4)
                 for _ in range(opts.refine_steps):
                     m1 = (hd + opts.beta) * dx + gT_mv(dz) + aT_mv(dy)
                     mz = g_mv(dx) - w_diag * dz
                     m4 = a_mv(dx) - opts.delta * dy
-                    ex, ez, ey = thomas_solve_aug(r1 - m1, r_z - mz, r4 - m4)
+                    ex, ez, ey = solve_aug_fn(r1 - m1, r_z - mz, r4 - m4)
                     dx, dz, dy = dx + ex, dz + ez, dy + ey
                 ds = (r2 - dz) / sigma_d
                 return dx, ds, dz, dy
@@ -759,7 +1028,10 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         ],
         out_shape=out_shapes,
         scratch_shapes=[
+            # "ric"/"ric_aug" keep their factors as values (no stage-inverse
+            # scratch); the other backends store per-stage inverses here.
             pltpu.VMEM(
+                (1, 8, 8, tile) if opts.backend in ("ric", "ric_aug") else
                 (horizon,
                  SA_C if opts.backend == "tridiag_aug" else SC,
                  SA_C if opts.backend == "tridiag_aug" else SC,

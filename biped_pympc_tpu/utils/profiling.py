@@ -21,30 +21,37 @@ from typing import Callable
 import numpy as np
 
 
-def device_timer(step_fn: Callable, state, chain_len: int = 5, reps: int = 3):
+def device_timer(step_fn: Callable, state, chain_len: int = 10, reps: int = 3):
     """Median seconds per call of `step_fn(state) -> state-like`.
 
     step_fn must return an updated state (or any pytree with the same
     structure as its input) so calls can be chained — chaining forces the
     device to actually execute every step sequentially.
+
+    The sync point is a SINGLE SCALAR reduced inside the jit (every output
+    leaf feeds it, so nothing is dead-code-eliminated). Transferring the
+    full output pytree instead would time one host round-trip PER LEAF —
+    on a tunneled runtime that is ~tens of ms each and can exceed the
+    device compute being measured by an order of magnitude.
     """
     import jax
+    import jax.numpy as jnp
 
     @jax.jit
     def chain(st):
         def body(s, _):
             return step_fn(s), ()
         out, _ = jax.lax.scan(body, st, None, length=chain_len)
-        return out
+        leaves = [x for x in jax.tree.leaves(out)
+                  if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)]
+        return sum(jnp.sum(x) for x in leaves)
 
-    out = chain(state)
-    jax.tree.map(lambda x: np.asarray(x), out)  # compile + sync
+    np.asarray(chain(state))  # compile + sync
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = chain(state)
-        jax.tree.map(lambda x: np.asarray(x), out)
+        np.asarray(chain(state))
         times.append((time.perf_counter() - t0) / chain_len)
     return float(np.median(times))
 

@@ -58,7 +58,7 @@ def test_qp_dims_match_reference():
     assert (qp.nz, qp.n_eq, qp.n_ineq) == (240, 140, 160)
 
 
-@pytest.mark.parametrize("backend", ["dense", "tridiag"])
+@pytest.mark.parametrize("backend", ["dense", "tridiag", "ric", "ric_aug"])
 def test_pdipm_matches_golden(backend):
     qp = _make_qp()
     H, f, A, b, G, d = qps.dense_matrices(qp)

@@ -99,6 +99,38 @@ def test_pallas_kernel_bcr_horizon20(interpret_pallas):
     )
 
 
+def test_pallas_kernel_ric_backend(interpret_pallas):
+    """Two-level condensed kernel (shipped default): lane-stacked [u, nu]
+    inverses + 12-wide dual-Riccati y-chain. Algebraically exact at f64."""
+    qs = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="ric", refine_steps=1, iterations=2)
+    res_k = pp.solve(batch, opts, tile=4)
+    ref = jax.vmap(lambda q: pdipm.solve(q, opts))(batch)
+    np.testing.assert_allclose(
+        np.asarray(res_k.x), np.asarray(ref.x), rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_k.residuals), np.asarray(ref.residuals),
+        rtol=1e-9, atol=1e-10,
+    )
+
+
+def test_pallas_kernel_ric_aug_backend(interpret_pallas):
+    """Two-level augmented kernel (f32-robust accuracy mode)."""
+    qs = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="ric_aug", refine_steps=1, iterations=2)
+    res_k = pp.solve(batch, opts, tile=4)
+    ref = jax.vmap(lambda q: pdipm.solve(q, opts))(batch)
+    np.testing.assert_allclose(
+        np.asarray(res_k.x), np.asarray(ref.x), rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_k.z), np.asarray(ref.z), rtol=1e-9, atol=1e-10
+    )
+
+
 def test_pallas_kernel_aug_backend(interpret_pallas):
     """The 42-wide augmented kernel variant matches the JAX tridiag_aug path."""
     qs = [_make_qp(seed=s, dtype=jnp.float32, vx=0.1 * s) for s in range(4)]
