@@ -1,0 +1,138 @@
+"""Batch-sweep benchmark: solves/s vs batch size for each solver method.
+
+Role parity with the reference's benchmark harness
+(`/root/reference/biped_pympc/cusadi/run_benchmarks.py:10-96`), which sweeps
+batch 1..32768 over {cusadi kernel, torch.vmap, serial CPU, parallel CPU}.
+Here the methods are the TPU-native equivalents:
+
+  pallas_ric   - fused Pallas kernel, two-level condensed (shipped default)
+  pallas       - fused Pallas kernel, 26-wide Thomas sweep
+  xla          - pure-JAX vmapped solver, same algorithm ("ric"), XLA-lowered
+                 (the torch.vmap-analog interpreter path)
+
+CPU serial / OpenMP baselines live in `bench_cpu.py` (C++,
+`native/srbd_mpc_cpu.cpp`) — run that separately on a CPU host.
+
+Prints one JSON line per (method, batch): ms per batched 20-iteration solve
+and 5-iteration-solve-units/s (the headline unit, see bench.py). Chained-scan
+timing amortizes the per-dispatch host round-trip.
+
+Usage: python bench_sweep.py [--batches 64,256,1024,4096] [--chain 10]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", default="64,256,1024,4096")
+    p.add_argument("--methods", default="pallas_ric,pallas,xla")
+    p.add_argument("--chain", type=int, default=10)
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from biped_pympc_tpu.models.srbd import SrbdLin
+    from biped_pympc_tpu.ops import pdipm, pdipm_pallas
+    from biped_pympc_tpu.ops import qp as qps
+    from biped_pympc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    def make_qp_batch(batch: int, horizon: int = 10):
+        """Walking-class QPs, domain-randomized across 8 base variants."""
+        rng = np.random.default_rng(0)
+        qs = []
+        for s in range(8):
+            x0 = jnp.asarray(
+                np.concatenate([
+                    rng.uniform(-0.05, 0.05, 3), [0, 0, 0.55],
+                    rng.uniform(-0.1, 0.1, 3), [0.05 * s, 0, 0],
+                ]).astype(np.float32))
+            x_ref = jnp.tile(
+                jnp.asarray([0, 0, 0, 0, 0, 0.55, 0, 0, 0, 0.3, 0, 0],
+                            jnp.float32), (horizon, 1))
+            contact = jnp.asarray(
+                (np.arange(horizon * 2).reshape(horizon, 2) + s) % 2,
+                jnp.float32)
+            lin = SrbdLin(
+                rot_body=jnp.eye(3, dtype=jnp.float32),
+                inertia_world=jnp.asarray(
+                    np.diag([0.5413, 0.52, 0.0691]), jnp.float32),
+                body_pos=x0[3:6],
+                foot_pos=x0[3:6] + jnp.asarray(
+                    [[0.02, 0.06, -0.55], [0.02, -0.06, -0.55]], jnp.float32),
+                mass=jnp.float32(13.856),
+                residual_lin_accel=jnp.zeros(3, jnp.float32),
+                residual_ang_accel=jnp.zeros(3, jnp.float32),
+            )
+            qs.append(qps.build_qp(
+                lin, x0, x_ref, contact, jnp.float32(0.025), jnp.float32(1.0),
+                jnp.asarray([150, 150, 250, 100, 100, 250, 1, 1, 5, 10, 10, 1],
+                            jnp.float32),
+                jnp.asarray([1e-5] * 6 + [1e-4] * 6, jnp.float32),
+                horizon,
+            ))
+        one = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+        rep = max(1, batch // 8)
+        full = jax.tree.map(
+            lambda a: jnp.tile(a, (rep,) + (1,) * (a.ndim - 1)), one)
+        return jax.tree.map(lambda a: a[:batch], full)
+
+    def timed_chain(qp, solve_fn, chain, reps):
+        @jax.jit
+        def chained(q):
+            def body(carry, _):
+                qq = q._replace(f=q.f + 1e-12 * carry)
+                res = solve_fn(qq)
+                return res.x, ()
+            out, _ = jax.lax.scan(body, jnp.zeros_like(q.f), None, length=chain)
+            return out[:, 0].sum()
+
+        t0 = time.perf_counter()
+        np.asarray(chained(qp))
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(chained(qp))
+            ts.append((time.perf_counter() - t0) / chain)
+        return float(np.median(ts)), compile_s
+
+    methods = {
+        "pallas_ric": lambda q: pdipm_pallas.solve(
+            q, pdipm.PdipmOptions(backend="ric", refine_steps=1)),
+        "pallas": lambda q: pdipm_pallas.solve(
+            q, pdipm.PdipmOptions(backend="tridiag", refine_steps=1)),
+        "xla": jax.vmap(lambda q: pdipm.solve(
+            q, pdipm.PdipmOptions(backend="ric", refine_steps=1))),
+    }
+
+    for batch in [int(b) for b in args.batches.split(",")]:
+        qp = make_qp_batch(batch)
+        for name in args.methods.split(","):
+            try:
+                t, compile_s = timed_chain(
+                    qp, methods[name], args.chain, args.reps)
+                print(json.dumps({
+                    "method": name, "batch": batch,
+                    "ms_per_solve": round(1e3 * t, 3),
+                    "solve_units_per_sec": round(batch * 4 / t, 1),
+                    "compile_s": round(compile_s, 1),
+                    "device": str(jax.devices()[0]),
+                }), flush=True)
+            except Exception as e:  # pragma: no cover - runtime-specific
+                print(json.dumps({
+                    "method": name, "batch": batch,
+                    "error": f"{type(e).__name__}",
+                }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
