@@ -119,6 +119,31 @@ def _gj_inverse(s_mat):
     return aug[:, n:, :]
 
 
+def _gj_inverse_nopivot(s_mat):
+    """Invert (n, n, B) via Gauss-Jordan WITHOUT pivot search.
+
+    Valid for symmetric definite matrices (diagonal pivots never vanish):
+    the dual-Riccati y-chain blocks are negative definite, so the pivot
+    search + row-swap selects of `_gj_inverse` (~40% of the per-step
+    tableau passes) are pure overhead there.
+    """
+    n = s_mat.shape[0]
+    bt = s_mat.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=s_mat.dtype)[:, :, None], (n, n, bt))
+    aug = jnp.concatenate([s_mat, eye], axis=1)  # (n, 2n, B)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    for k in range(n):
+        pivot_row = aug[k] / aug[k, k][None, :]  # (2n, B)
+        is_k = row_idx == k
+        factors = jnp.where(is_k, 0.0, aug[:, k, :])  # (n, B)
+        aug = jnp.where(
+            is_k[:, :, None], pivot_row[None, :, :],
+            aug - factors[:, None, :] * pivot_row[None, :, :],
+        )
+    return aug[:, n:, :]
+
+
 def _pdipm_kernel(
     horizon: int,
     opts: PdipmOptions,
@@ -516,7 +541,7 @@ def _pdipm_kernel(
             yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
             if t >= 1:
                 yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
-            m_prev = _gj_inverse(yy)
+            m_prev = _gj_inverse_nopivot(yy)  # yy is negative definite
             yhat_inv.append(m_prev)
         return k_inv_st, yhat_inv, s_coup, bd_st
 
@@ -641,7 +666,7 @@ def _pdipm_kernel(
             yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
             if t >= 1:
                 yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
-            m_prev = _gj_inverse(yy)
+            m_prev = _gj_inverse_nopivot(yy)  # yy is negative definite
             yhat_inv.append(m_prev)
         return k_inv_st, yhat_inv, s_coup, bd_st
 
