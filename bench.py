@@ -40,11 +40,13 @@ def main():
 
     enable_compilation_cache()  # repeat runs compile in seconds
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    use_mesh = "--mesh" in sys.argv
+    argv = [a for a in sys.argv if a != "--mesh"]
+    batch = int(argv[1]) if len(argv) > 1 else 4096
     # Longer chains amortize the per-dispatch host<->device round-trip
     # (~30 ms on the tunneled runtime): time/step = t_device + overhead/CH.
     # CH=20 keeps the overhead contribution under ~2 ms at any batch.
-    chain_len = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    chain_len = int(argv[2]) if len(argv) > 2 else 20
 
     # Two-level condensed kernel ("ric"): lane-stacked per-stage [u, nu]
     # inverses + a 12-wide sequential dual-Riccati y-chain. Interleaved A/B
@@ -75,6 +77,19 @@ def main():
     state = state._replace(
         gait_phase=jnp.asarray(rng.uniform(0, 1, batch).astype(np.float32))
     )
+
+    mesh = None
+    if use_mesh:
+        # Shard the env batch over every visible chip (parallel/mesh.py):
+        # per-env solves are independent, so the sharded step has zero
+        # inter-chip communication and the measured rate is the aggregate
+        # of the whole slice. On a 1-chip runtime this is a no-op.
+        from biped_pympc_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
+        state = pmesh.shard_state(state, mesh)
+        n_dev = len(jax.devices())
+        assert batch % n_dev == 0, f"batch {batch} % devices {n_dev} != 0"
 
     @jax.jit
     def chain(st):
@@ -126,14 +141,17 @@ def main():
     solves_per_sec = batch * launches_per_run / p50
     realtime_requirement = 4096 * 100 * 4
 
+    n_dev = len(jax.devices()) if mesh is not None else 1
+    tag = f"_x{n_dev}chips" if n_dev > 1 else ""
     result = {
-        "metric": f"qp_solves_per_sec_chip_b{batch}_h10_5iter",
+        "metric": f"qp_solves_per_sec_chip_b{batch}_h10_5iter{tag}",
         "value": round(solves_per_sec, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / realtime_requirement, 4),
         "extra": {
             "p50_latency_ms_20iter_batch": round(1e3 * p50, 3),
             "batch": batch,
+            "devices": n_dev,
             "newton_iterations": mpc_cfg.newton_iterations,
             "chain_len": chain_len,
             "compile_s": round(compile_s, 1),
