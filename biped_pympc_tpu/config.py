@@ -45,10 +45,12 @@ class MPCConf:
     # Default: the two-level augmented backend — same f32-robust accuracy
     # class as "tridiag_aug" (f64 golden parity ~2e-8) at a fraction of the
     # factorization work. On TPU prefer the fused kernels: "pallas_ric"
-    # (fastest) or "pallas_ric_aug" (accuracy mode).
+    # (fast default), "pallas_ric2" (~8% faster, wider f32 error tail on
+    # contact-chattering QPs) or "pallas_ric_aug" (accuracy mode).
     solver: Literal[
         "tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
-        "pallas", "pallas_aug", "pallas_bcr", "pallas_ric", "pallas_ric_aug",
+        "pallas", "pallas_aug", "pallas_bcr", "pallas_ric", "pallas_ric2",
+        "pallas_ric_aug",
     ] = "ric_aug"
     robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,

@@ -71,8 +71,15 @@ class BipedControllerCore:
         self.robot: RobotSpec = get_robot(mpc_cfg.robot)
         # Pallas kernel algorithm menu (each also exists as a pure-JAX
         # backend under the un-prefixed name):
-        #   pallas_ric     - two-level condensed: fastest (v5e interleaved
-        #                    A/B: 1.63x over "pallas" at batch 4096)
+        #   pallas_ric     - two-level condensed: fast default (v5e
+        #                    interleaved A/B: 1.63x over "pallas" at batch
+        #                    4096; no-pivot stage inverses)
+        #   pallas_ric2    - ric with the 2-wide nu block eliminated by a
+        #                    rank-2 Schur identity (12-wide SPD inverses
+        #                    only): ~8% faster than pallas_ric but with a
+        #                    worse f32 error tail on contact-chattering
+        #                    stress QPs (70 N vs 4 N worst of 8; medians
+        #                    equal) — opt-in for throughput-bound fleets
         #   pallas_ric_aug - two-level augmented: f32-robust accuracy mode
         #                    (~30x smaller GRF error tails), 1.5x faster
         #                    than "pallas_aug"
@@ -82,7 +89,7 @@ class BipedControllerCore:
         #                    horizons; slower at T=10)
         known = ("tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
                  "pallas", "pallas_aug", "pallas_bcr", "pallas_ric",
-                 "pallas_ric_aug")
+                 "pallas_ric2", "pallas_ric_aug")
         if mpc_cfg.solver not in known:
             raise ValueError(
                 f"unknown MPCConf.solver {mpc_cfg.solver!r}; expected one of "
@@ -91,7 +98,7 @@ class BipedControllerCore:
         backend = {
             "pallas": "tridiag", "pallas_aug": "tridiag_aug",
             "pallas_bcr": "bcr", "pallas_ric": "ric",
-            "pallas_ric_aug": "ric_aug",
+            "pallas_ric2": "ric2", "pallas_ric_aug": "ric_aug",
         }.get(mpc_cfg.solver, mpc_cfg.solver)
         self.opts = PdipmOptions(
             iterations=mpc_cfg.newton_iterations,

@@ -79,6 +79,12 @@ class PdipmOptions(NamedTuple):
     inv_impl: str = "gj"  # "gj" (batched Gauss-Jordan, TPU-fast) or
     # "lapack" (jnp.linalg.inv — XLA's sequential LU, orders of magnitude
     # slower on TPU for tiny matrices; kept as a cross-check)
+    k_pivot: bool = False  # Pallas "ric" kernel only: pivot search in the
+    # lane-stacked [u, nu] stage inverses. The blocks are symmetric
+    # quasi-definite (SPD R+beta+G^T W^-1 G leading block, then a negative
+    # definite -delta I - E Ru^-1 E^T Schur), so natural-order elimination
+    # never needs a pivot swap and the search is pure overhead; True keeps
+    # the pivoted form for diagnostics.
 
 
 class PdipmState(NamedTuple):

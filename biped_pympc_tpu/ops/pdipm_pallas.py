@@ -502,6 +502,143 @@ def _pdipm_kernel(
     def split_lanes(x, n):
         return [x[..., i * bt: (i + 1) * bt] for i in range(n)]
 
+    def factor_ric2(w_inv):
+        """Rank-2 variant of `factor_ric`: the 2-wide nu block (diagonal
+        -delta pivot) is eliminated by the Schur identity instead of sitting
+        in the GJ, so the lane-stacked inverse is 12-wide SPD Ru only
+        (no-pivot). K^-1 is applied through the block formula
+          K^-1 = [[Ru^-1 + Ru^-1 E^T S^-1 E Ru^-1, -Ru^-1 E^T S^-1],
+                  [-S^-1 E Ru^-1,                   S^-1]],
+        S = -delta I - E Ru^-1 E^T (2x2, negative definite). E Ru^-1 is rows
+        [6, 9] of the symmetric Ru^-1 — a free static slice.
+
+        Returns (ru_inv_st, erui_st, snu_inv_st, yhat_inv, s_coup, bd_st)."""
+        w_s = w_inv.reshape(T, N_INEQ_PER_STAGE, bt)
+        eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
+
+        ks = []
+        for t in range(T):
+            gtwg = jnp.sum(
+                gu[:, :, None, :] * gu[:, None, :, :] * w_s[t][:, None, None, :],
+                axis=0,
+            )
+            ks.append(gtwg + eye12 * (r_diag[:, None, :] + opts.beta))
+        ru_inv_st = _gj_inverse_nopivot(jnp.concatenate(ks, axis=-1))
+
+        # E Ru^-1 (2, 12, T*bt) and S^-1 (2, 2, T*bt) in closed form.
+        erui_st = jnp.concatenate(
+            [ru_inv_st[6][None], ru_inv_st[9][None]], axis=0
+        )
+        sa = -opts.delta - ru_inv_st[6, 6]
+        sb = -ru_inv_st[6, 9]
+        sc_ = -opts.delta - ru_inv_st[9, 9]
+        det = sa * sc_ - sb * sb
+        snu_inv_st = jnp.concatenate(
+            [
+                jnp.concatenate([(sc_ / det)[None], (-sb / det)[None]], axis=0)[None],
+                jnp.concatenate([(-sb / det)[None], (sa / det)[None]], axis=0)[None],
+            ],
+            axis=0,
+        )  # (2, 2, T*bt)
+
+        # kuu = Ru^-1 + (E Ru^-1)^T S^-1 (E Ru^-1): rank-2 update.
+        si_er = _mm(snu_inv_st, erui_st)  # (2, 12, T*bt)
+        kuu_st = ru_inv_st + _mtm(erui_st, si_er)
+
+        bd_st = jnp.concatenate([bd] * T, axis=-1)
+        bkb_st = _mm(_mm(bd_st, kuu_st), jnp.swapaxes(bd_st, 0, 1))
+        bkb = split_lanes(bkb_st, T)
+
+        adq = ad * q_inv[None, :, :]
+        adqad = jnp.sum(adq[:, None, :, :] * ad[None, :, :, :], axis=2)
+        s_coup = q_inv[:, None, :] * jnp.swapaxes(ad, 0, 1)
+        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
+
+        yhat_inv = []
+        m_prev = None
+        for t in range(T):
+            yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
+            if t >= 1:
+                yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
+            m_prev = _gj_inverse_nopivot(yy)  # yy is negative definite
+            yhat_inv.append(m_prev)
+        return ru_inv_st, erui_st, snu_inv_st, yhat_inv, s_coup, bd_st
+
+    def _kinv2_apply(ru_inv_st, erui_st, snu_inv_st, r_un_st):
+        """K^-1 @ [r_u; r_nu] via the rank-2 block formula; (14, L)->(14, L)."""
+        r_u = r_un_st[:NU]
+        r_nu = r_un_st[NU:]
+        t1 = _mv(ru_inv_st, r_u)  # (12, L)
+        e_t1 = jnp.concatenate([t1[6][None], t1[9][None]], axis=0)  # (2, L)
+        eta = _mv(snu_inv_st, r_nu - e_t1)  # (2, L) = dnu
+        # du = Ru^-1 (r_u - E^T eta) = t1 - (E Ru^-1)^T eta (Ru^-1 symmetric).
+        du = t1 - jnp.sum(erui_st * eta[:, None, :], axis=0)
+        return jnp.concatenate([du, eta], axis=0)
+
+    def ric2_solve(r1_hat, r4, ru_inv_st, erui_st, snu_inv_st, yhat_inv,
+                   s_coup, bd_st):
+        """`ric_solve` with K^-1 applied through the rank-2 formula."""
+        kinv = lambda r: _kinv2_apply(ru_inv_st, erui_st, snu_inv_st, r)
+        rx = r1_hat[: NX * T].reshape(T, NX, bt)
+        ru_r = r1_hat[NX * T:].reshape(T, NU, bt)
+        ry = r4[: NX * T].reshape(T, NX, bt)
+        rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE, bt)
+
+        adq = ad * q_inv[None, :, :]
+        ry_c = ry - q_inv[None] * rx
+        shift = jnp.sum(adq[None] * rx[:, None, :, :], axis=2)
+        ry_c = jnp.concatenate([ry_c[:1], ry_c[1:] + shift[:-1]], axis=0)
+
+        r_un = jnp.concatenate([ru_r, rnu], axis=1)  # (T, 14, bt)
+        r_un_st = jnp.concatenate([r_un[t] for t in range(T)], axis=-1)
+        kr_st = kinv(r_un_st)  # (14, T*bt)
+        ry2_st = jnp.concatenate(
+            [ry_c[t] for t in range(T)], axis=-1
+        ) + _mv(bd_st, kr_st[:NU])
+        ry2 = split_lanes(ry2_st, T)
+
+        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
+        g = []
+        g_prev = None
+        for t in range(T):
+            if g_prev is None:
+                g_t = ry2[t]
+            else:
+                g_t = ry2[t] - _mv(s_coup_t, _mv(yhat_inv[t - 1], g_prev))
+            g.append(g_t)
+            g_prev = g_t
+
+        wy = [None] * T
+        y_next = None
+        for t in range(T - 1, -1, -1):
+            rhs = g[t] if y_next is None else g[t] - _mv(s_coup, y_next)
+            y_next = _mv(yhat_inv[t], rhs)
+            wy[t] = y_next
+        wy_arr = jnp.stack(wy)  # (T, 12, bt)
+        wy_st = jnp.concatenate(wy, axis=-1)  # (12, T*bt)
+
+        btwy_st = _mv(jnp.swapaxes(bd_st, 0, 1), wy_st)
+        rhs_un_st = jnp.concatenate(
+            [r_un_st[:NU] + btwy_st, r_un_st[NU:]], axis=0
+        )
+        un_st = kinv(rhs_un_st)  # (14, T*bt)
+        un = split_lanes(un_st, T)
+
+        xs = q_inv[None] * (rx - wy_arr)
+        adTwy = jnp.sum(ad[None] * wy_arr[:, :, None, :], axis=1)
+        xs = jnp.concatenate(
+            [xs[:-1] + q_inv[None] * adTwy[1:], xs[-1:]], axis=0
+        )
+
+        du = jnp.stack([u[:NU] for u in un]).reshape(NU * T, bt)
+        dnu = jnp.stack([u[NU:] for u in un]).reshape(N_MX_PER_STAGE * T, bt)
+        dy = wy_arr.reshape(NX * T, bt)
+        dx = xs.reshape(NX * T, bt)
+        return (
+            jnp.concatenate([dx, du], axis=0),
+            jnp.concatenate([dy, dnu], axis=0),
+        )
+
     def factor_ric(w_inv):
         """Returns (k_inv_st (14,14,T*bt), yhat_inv list of T (12,12,bt),
         s_coup (12,12,bt), bd_st (12,12,T*bt)) — all values, no scratch."""
@@ -522,7 +659,13 @@ def _pdipm_kernel(
             row_u = jnp.concatenate([ru_b, jnp.swapaxes(e_sel, 0, 1)], axis=1)
             row_nu = jnp.concatenate([e_sel, z_nu2], axis=1)
             ks.append(jnp.concatenate([row_u, row_nu], axis=0))
-        k_inv_st = _gj_inverse(jnp.concatenate(ks, axis=-1))  # (14,14,T*bt)
+        # K_t is symmetric quasi-definite: SPD [u] block (R + beta +
+        # G^T W^-1 G), then a negative definite Schur (-delta I - E Ru^-1
+        # E^T), so natural-order elimination is stable without pivot search
+        # (SPD leading-block growth factor 1); opts.k_pivot restores the
+        # searched form for diagnostics.
+        k_gj = _gj_inverse if opts.k_pivot else _gj_inverse_nopivot
+        k_inv_st = k_gj(jnp.concatenate(ks, axis=-1))  # (14,14,T*bt)
 
         # Y'_t = Y_t - Bd (K_t^-1)_uu Bd^T, batched across stages in lanes.
         kuu_st = k_inv_st[:NU, :NU, :]
@@ -844,6 +987,7 @@ def _pdipm_kernel(
     use_aug = opts.backend == "tridiag_aug"
     use_bcr = opts.backend == "bcr"
     use_ric = opts.backend == "ric"
+    use_ric2 = opts.backend == "ric2"
     use_ric_aug = opts.backend == "ric_aug"
 
     def iteration(_, carry):
@@ -856,10 +1000,13 @@ def _pdipm_kernel(
         sigma_d = z / s + opts.delta
         w_inv = sigma_d / (1.0 + opts.delta * sigma_d)
 
-        if use_bcr or use_ric:
+        if use_bcr or use_ric or use_ric2:
             if use_ric:
                 factors = factor_ric(w_inv)
                 solve_fn = ric_solve
+            elif use_ric2:
+                factors = factor_ric2(w_inv)
+                solve_fn = ric2_solve
             else:
                 factors = factor_bcr(w_inv)
                 solve_fn = bcr_solve
@@ -1056,7 +1203,8 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
             # "ric"/"ric_aug" keep their factors as values (no stage-inverse
             # scratch); the other backends store per-stage inverses here.
             pltpu.VMEM(
-                (1, 8, 8, tile) if opts.backend in ("ric", "ric_aug") else
+                (1, 8, 8, tile)
+                if opts.backend in ("ric", "ric2", "ric_aug") else
                 (horizon,
                  SA_C if opts.backend == "tridiag_aug" else SC,
                  SA_C if opts.backend == "tridiag_aug" else SC,

@@ -116,6 +116,29 @@ def test_pallas_kernel_ric_backend(interpret_pallas):
     )
 
 
+def test_pallas_kernel_ric2_backend(interpret_pallas):
+    """Rank-2 Schur variant ("ric2", pallas-only): eliminates the 2-wide nu
+    block by the closed-form block-inverse identity so the lane-stacked
+    inverse is 12-wide SPD only. Exact algebra — must match the pure-JAX
+    "ric" backend at f64 to roundoff."""
+    qs = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    res_k = pp.solve(
+        batch,
+        pdipm.PdipmOptions(backend="ric2", refine_steps=1, iterations=2),
+        tile=4,
+    )
+    ref_opts = pdipm.PdipmOptions(backend="ric", refine_steps=1, iterations=2)
+    ref = jax.vmap(lambda q: pdipm.solve(q, ref_opts))(batch)
+    np.testing.assert_allclose(
+        np.asarray(res_k.x), np.asarray(ref.x), rtol=1e-9, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_k.residuals), np.asarray(ref.residuals),
+        rtol=1e-9, atol=1e-10,
+    )
+
+
 def test_pallas_kernel_ric_aug_backend(interpret_pallas):
     """Two-level augmented kernel (f32-robust accuracy mode)."""
     qs = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
