@@ -83,7 +83,9 @@ def main():
         "ric_nopivot_r1": pdipm.PdipmOptions(backend="ric", refine_steps=1,
                                              k_pivot=False),
         "ric2_r1": pdipm.PdipmOptions(backend="ric2", refine_steps=1),
-        "ric2_r0": pdipm.PdipmOptions(backend="ric2", refine_steps=0),
+        "ric2_r2": pdipm.PdipmOptions(backend="ric2", refine_steps=2),
+        "ric_nopivot_r2": pdipm.PdipmOptions(backend="ric", refine_steps=2,
+                                             k_pivot=False),
         "ric_aug_r1": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1),
     }
     for name, opts in variants.items():
@@ -94,6 +96,7 @@ def main():
             "median_N": round(float(np.median(e)), 4),
             "p99_N": round(float(np.percentile(e, 99)), 3),
             "max_N": round(float(e.max()), 3),
+            "per_problem_N": [round(float(v), 3) for v in e[:8]],
         }), flush=True)
 
 

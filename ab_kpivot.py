@@ -76,11 +76,10 @@ def main():
     chain = 10
     reps = 6
     variants = {
-        "pivot": pdipm.PdipmOptions(backend="ric", refine_steps=1,
-                                    k_pivot=True),
         "nopivot": pdipm.PdipmOptions(backend="ric", refine_steps=1,
                                       k_pivot=False),
         "ric2": pdipm.PdipmOptions(backend="ric2", refine_steps=1),
+        "ric2_r2": pdipm.PdipmOptions(backend="ric2", refine_steps=2),
     }
 
     # --- interleaved timing ----------------------------------------------
