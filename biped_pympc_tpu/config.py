@@ -58,6 +58,12 @@ class MPCConf:
     newton_iterations: int = 20
     solver_beta: float = 1e-8
     solver_delta: float = 1e-8
+    # Per-foot vertical-force cap [N]. The reference hardcodes 500 inside the
+    # symbolic QP (`srbd_constraints.py:31`; changing it there forces a
+    # multi-hour CUDA recompile). 500 N suits the 13.9 kg HECTOR (~3.7x mg);
+    # for the 40 kg T1 (mg = 392 N) set ~800-1500 N or height tracking
+    # saturates.
+    f_max: float = 500.0
     solver_refine_steps: int = 1
     # Euler-rate convention; see `models/srbd.py` docstring. "rt_omega"
     # matches the shipped CUDA path, "r_omega" the CPU CasADi source.

@@ -233,6 +233,7 @@ class BipedControllerCore:
             horizon=self.mpc_cfg.horizon_length,
             decimation_dt=self.mpc_cfg.decimation * self.mpc_cfg.dt,
             euler_rate_mode=self.mpc_cfg.euler_rate_mode,
+            f_max=self.mpc_cfg.f_max,
             q_weights=jnp.asarray(self.mpc_cfg.Q, dtype=self.dtype),
             r_weights=jnp.asarray(self.mpc_cfg.R, dtype=self.dtype),
         )

@@ -133,6 +133,7 @@ def build_mpc_qp(
     horizon: int,
     decimation_dt: float,
     euler_rate_mode: str = "rt_omega",
+    f_max: float = qps.F_MAX,
 ):
     """Per-env QP assembly half of the MPC step (vmapped by the caller).
 
@@ -163,7 +164,7 @@ def build_mpc_qp(
     qp = qps.build_qp(
         lin, x0, x_ref, contact_table.astype(dtype), dt_mpc,
         jnp.asarray(robot.mu, dtype=dtype), q_weights, r_weights, horizon,
-        euler_rate_mode,
+        euler_rate_mode, f_max,
     )
     return new_mem, x_ref, qp
 
@@ -217,6 +218,7 @@ def solve_mpc(
     decimation_dt: float,
     opts: pdipm.PdipmOptions,
     euler_rate_mode: str = "rt_omega",
+    f_max: float = qps.F_MAX,
 ):
     """Full MPC step for one env (`mpc_controller_cusadi.py:43-205`).
 
@@ -248,7 +250,7 @@ def solve_mpc(
     qp = qps.build_qp(
         lin, x0, x_ref, contact_table.astype(dtype), dt_mpc,
         jnp.asarray(robot.mu, dtype=dtype), q_weights, r_weights, horizon,
-        euler_rate_mode,
+        euler_rate_mode, f_max,
     )
     sol = pdipm.solve(qp, opts)
 

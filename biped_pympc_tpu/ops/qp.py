@@ -109,12 +109,19 @@ def build_qp(
     r_diag: jnp.ndarray,
     horizon: int,
     euler_rate_mode: str = "rt_omega",
+    f_max: float = F_MAX,
 ) -> StageQP:
     """Assemble the structured QP for one env.
 
     Args mirror the reference qp_former inputs (`srbd_constraints.py:75-79`):
       x0 (12,), x_ref (T, 12), contact_table (T, 2), dt_mpc scalar, mu scalar,
       q_diag/r_diag (12,) cost weights.
+
+    f_max: per-foot vertical-force cap [N]. The reference hardcodes 500 N
+    inside the symbolic QP (`srbd_constraints.py:31` — changing it means a
+    multi-hour kernel recompile); here it is plain data. 500 N is sized for
+    the 13.9 kg HECTOR (~3.7x mg); the 40 kg T1 (mg = 392 N) needs ~800 N
+    for equivalent control authority.
     """
     dtype = x0.dtype
     dyn = discrete_dynamics(lin, dt_mpc, euler_rate_mode)
@@ -127,8 +134,8 @@ def build_qp(
 
     g_u = stage_ineq_block(mu, dtype=dtype)
     d = jnp.zeros((horizon, N_INEQ_PER_STAGE), dtype=dtype)
-    d = d.at[:, 7].set(F_MAX * contact_table[:, 0])
-    d = d.at[:, 15].set(F_MAX * contact_table[:, 1])
+    d = d.at[:, 7].set(f_max * contact_table[:, 0])
+    d = d.at[:, 15].set(f_max * contact_table[:, 1])
 
     return StageQP(q_diag=q_diag, r_diag=r_diag, f=f, dyn=dyn, b0=b0,
                    g_u=g_u, d=d)

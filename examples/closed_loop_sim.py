@@ -57,7 +57,11 @@ def simulate(
 ):
     """Run the closed loop; returns a dict of trajectories (numpy)."""
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
-    mpc_cfg = MPCConf(solver=solver, robot=robot_name)
+    # The reference's hardwired 500 N force cap suits HECTOR (13.9 kg); give
+    # the 40 kg T1 the same ~3.7x-mg authority (a one-line config here vs a
+    # multi-hour kernel recompile in the reference).
+    f_max = 500.0 if robot_name == "HECTOR" else 1450.0
+    mpc_cfg = MPCConf(solver=solver, robot=robot_name, f_max=f_max)
     ctrl = MPCController(cfg, mpc_cfg, num_envs=num_envs, gait_id=2)
     robot = ctrl.core.robot
     if height is None:

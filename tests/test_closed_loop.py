@@ -38,3 +38,36 @@ def test_walks_and_stays_upright():
     fz = out["fz"]  # (snapshots, B, 2)
     assert (fz.max(axis=2) > 50.0).mean() > 0.8
     assert (fz[:, 0, 0] > 50).any() and (fz[:, 0, 1] > 50).any()
+
+
+def test_t1_walks_and_stays_upright():
+    """The 40 kg T1 (Gauss-Newton exact-IK variant) walks in the same loop.
+
+    Needs the configurable per-foot force cap (`MPCConf.f_max`): at the
+    reference's hardwired 500 N (`srbd_constraints.py:31`) the T1
+    (mg = 392 N) cannot regulate height and sinks ~10 cm/s; at the
+    HECTOR-equivalent ~3.7x-mg authority it holds height and tracks the
+    velocity command.
+    """
+    out = simulate(
+        num_envs=2, seconds=2.5, vx=0.3, robot_name="T1-newton",
+        verbose=False,
+    )
+
+    rpy = out["rpy"]
+    assert np.abs(rpy[:, :, :2]).max() < 0.1, "fell over (roll/pitch)"
+
+    z = out["pos"][:, :, 2]
+    assert np.abs(z - 0.62).max() < 0.07, "height not held"
+
+    # vx ramps toward the command and keeps rising (full convergence takes
+    # ~3.5 s for the heavier robot; keep the test short).
+    vx = out["vx"]
+    assert vx[-1].min() > 0.15, f"vx not ramping: {vx[-5:]}"
+    assert vx[-1].min() > vx[len(vx) // 2].max() - 0.02, "vx stopped rising"
+
+    dist = out["pos"][-1, 0, 0] - out["pos"][0, 0, 0]
+    assert dist > 0.1, f"did not walk forward: {dist}"
+
+    fz = out["fz"]  # (snapshots, B, 2)
+    assert (fz.max(axis=2) > 150.0).mean() > 0.8, "unloaded"
