@@ -33,6 +33,7 @@ def main():
     p.add_argument("--methods", default="pallas_ric,pallas,xla")
     p.add_argument("--chain", type=int, default=10)
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--horizon", type=int, default=10)
     args = p.parse_args()
 
     import jax
@@ -115,13 +116,14 @@ def main():
     }
 
     for batch in [int(b) for b in args.batches.split(",")]:
-        qp = make_qp_batch(batch)
+        qp = make_qp_batch(batch, horizon=args.horizon)
         for name in args.methods.split(","):
             try:
                 t, compile_s = timed_chain(
                     qp, methods[name], args.chain, args.reps)
                 print(json.dumps({
                     "method": name, "batch": batch,
+                    "horizon": args.horizon,
                     "ms_per_solve": round(1e3 * t, 3),
                     "solve_units_per_sec": round(batch * 4 / t, 1),
                     "compile_s": round(compile_s, 1),

@@ -48,6 +48,12 @@ class ControllerState(NamedTuple):
     cp2: jnp.ndarray  # (B,)
     residual_lin_accel: jnp.ndarray  # (B, 3)
     residual_ang_accel: jnp.ndarray  # (B, 3)
+    # Domain-randomization knobs. The reference bakes both constants into
+    # its compiled kernel (mu enters the friction-pyramid rows, F_max the
+    # saturation rows of G/d — `srbd_constraints.py:31,144-227`), so
+    # randomizing them per env is impossible there; here they are data.
+    mu: jnp.ndarray  # (B,) friction coefficient
+    f_max: jnp.ndarray  # (B,) per-foot vertical-force cap [N]
     # Latest MPC products kept for the wrapper properties
     x_ref: jnp.ndarray  # (B, T, 12)
     mpc_cost: jnp.ndarray  # (B,)
@@ -144,6 +150,8 @@ class BipedControllerCore:
             cp2=jnp.full((b,), 2.0 / 3.0, dtype=dt),
             residual_lin_accel=zeros(3),
             residual_ang_accel=zeros(3),
+            mu=jnp.full((b,), float(self.robot.mu), dtype=dt),
+            f_max=jnp.full((b,), self.mpc_cfg.f_max, dtype=dt),
             x_ref=zeros(self.mpc_cfg.horizon_length, 12),
             mpc_cost=zeros(),
             contact_phase=zeros(2),
@@ -233,18 +241,19 @@ class BipedControllerCore:
             horizon=self.mpc_cfg.horizon_length,
             decimation_dt=self.mpc_cfg.decimation * self.mpc_cfg.dt,
             euler_rate_mode=self.mpc_cfg.euler_rate_mode,
-            f_max=self.mpc_cfg.f_max,
             q_weights=jnp.asarray(self.mpc_cfg.Q, dtype=self.dtype),
             r_weights=jnp.asarray(self.mpc_cfg.R, dtype=self.dtype),
         )
         new_mem, x_ref, qp = jax.vmap(
-            lambda mem, est, des, ct, dtm, rl, ra: build(
+            lambda mem, est, des, ct, dtm, rl, ra, mu, fmax: build(
                 mem, est, des, ct, dtm,
                 residual_lin_accel=rl, residual_ang_accel=ra,
+                mu=mu, f_max=fmax,
             )
         )(
             state.mpc_mem, state.est, state.des, contact_table,
             state.dt_mpc, state.residual_lin_accel, state.residual_ang_accel,
+            state.mu, state.f_max,
         )
 
         if self.mpc_cfg.solver.startswith("pallas"):

@@ -133,9 +133,13 @@ def build_mpc_qp(
     horizon: int,
     decimation_dt: float,
     euler_rate_mode: str = "rt_omega",
-    f_max: float = qps.F_MAX,
+    f_max=qps.F_MAX,
+    mu=None,
 ):
     """Per-env QP assembly half of the MPC step (vmapped by the caller).
+
+    f_max and mu may be Python floats or per-env traced scalars (DRL /
+    domain-randomization knobs); mu=None uses the robot's default.
 
     Split out from the solve so the batched Pallas kernel can run on the
     whole batch at once between the vmapped build and postprocess phases.
@@ -161,9 +165,10 @@ def build_mpc_qp(
         [est.root_euler, est.root_position, est.root_angular_velocity_w,
          est.root_velocity_w]
     )
+    mu_v = jnp.asarray(robot.mu if mu is None else mu, dtype=dtype)
     qp = qps.build_qp(
         lin, x0, x_ref, contact_table.astype(dtype), dt_mpc,
-        jnp.asarray(robot.mu, dtype=dtype), q_weights, r_weights, horizon,
+        mu_v, q_weights, r_weights, horizon,
         euler_rate_mode, f_max,
     )
     return new_mem, x_ref, qp

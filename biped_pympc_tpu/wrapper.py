@@ -111,6 +111,25 @@ class MPCController:
     def set_srbd_residual(self, A_residual, B_residual) -> None:
         raise NotImplementedError  # parity: `mpc_wrapper.py:66-67`
 
+    def set_contact_parameters(self, mu=None, f_max=None) -> None:
+        """Per-env friction coefficient and per-foot vertical-force cap [N].
+
+        Domain-randomization knobs beyond the reference: both are baked
+        into its compiled kernel (`srbd_constraints.py:31,144-227`), here
+        they are per-env data. Pass (B,) arrays (or scalars to broadcast);
+        None leaves a parameter unchanged.
+        """
+        state = self.state
+        if mu is not None:
+            state = state._replace(
+                mu=jnp.broadcast_to(
+                    jnp.asarray(mu, state.mu.dtype), state.mu.shape))
+        if f_max is not None:
+            state = state._replace(
+                f_max=jnp.broadcast_to(
+                    jnp.asarray(f_max, state.f_max.dtype), state.f_max.shape))
+        self.state = state
+
     # ------------------------------------------------------------------
     # properties (`mpc_wrapper.py:72-205`)
     # ------------------------------------------------------------------

@@ -97,6 +97,42 @@ def test_walking_swing_progression():
     assert float(np.asarray(ctrl.state.gait_phase)[0]) > 0.05
 
 
+def test_per_env_contact_parameters_bind():
+    """Per-env f_max caps the stance force; per-env mu limits tangentials.
+
+    Both constants are baked into the reference's compiled kernel
+    (`srbd_constraints.py:31,144-227`); here they are per-env data
+    (`MPCController.set_contact_parameters`). Env 1 gets a force cap below
+    half the robot's weight and near-zero friction; env 0 keeps defaults.
+    """
+    B = 2
+    ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=B, gait_id=1)
+    obs = _hector_obs(B)
+    twist = np.zeros((B, 3), np.float32)
+    twist[:, 0] = 0.4  # demand tangential force
+    ctrl.set_command(twist, np.full(B, 0.55, np.float32))
+    ctrl.set_contact_parameters(
+        mu=np.array([1.0, 0.02], np.float32),
+        f_max=np.array([500.0, 50.0], np.float32),
+    )
+    ctrl.update_state(obs)
+    ctrl.run_mpc()
+
+    wrench = np.asarray(ctrl.ground_reaction_wrench)  # (B, 2, 6), -F_body
+    fz = -wrench[:, :, 2]
+    weight = 13.856 * GRAVITY
+    # env 0 unconstrained: carries at least full weight (the 0.4 m/s
+    # command adds vertical redistribution on top); env 1: capped at
+    # 50 N/foot, so it cannot.
+    assert fz[0].sum() > 0.9 * weight
+    assert fz[0].max() > 50.0 + 1e-3
+    assert (fz[1] <= 50.0 + 1e-3).all(), fz[1]
+    # env 1's friction pyramid: |fx| <= mu fz (plus solver slack).
+    fx = np.abs(wrench[:, :, 0])
+    assert (fx[1] <= 0.02 * fz[1] + 0.5).all(), (fx[1], fz[1])
+    assert fx[0].max() > fx[1].max()
+
+
 def test_reset_masks_only_selected_envs():
     B = 3
     ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=B, gait_id=2)
