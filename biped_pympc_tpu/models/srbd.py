@@ -64,6 +64,29 @@ def _skew(v):
     return jnp.array([[o, -z, y], [z, o, -x], [-y, x, o]])
 
 
+def _inv3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / determinant).
+
+    `jnp.linalg.inv` lowers to a sequential LU custom call that is orders of
+    magnitude slower on TPU for tiny matrices (it alone dominated the rollout
+    plant tick at batch 4096: ~14.5 ms vs ~0.27 ms for the whole control
+    stack); the cofactor form is pure elementwise math and vmaps freely.
+    """
+    a, b, c = m[0, 0], m[0, 1], m[0, 2]
+    d, e, f = m[1, 0], m[1, 1], m[1, 2]
+    g, h, i = m[2, 0], m[2, 1], m[2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.array([
+        [co_a, c * h - b * i, b * f - c * e],
+        [co_b, a * i - c * g, c * d - a * f],
+        [co_c, b * g - a * h, a * e - b * d],
+    ])
+    return adj / det
+
+
 def continuous_dynamics(lin: SrbdLin, euler_rate_mode: str = "rt_omega") -> AffineDynamics:
     """Affine continuous-time SRBD at the linearization point.
 
@@ -76,7 +99,7 @@ def continuous_dynamics(lin: SrbdLin, euler_rate_mode: str = "rt_omega") -> Affi
     """
     dtype = lin.rot_body.dtype
     rm = lin.rot_body.T if euler_rate_mode == "rt_omega" else lin.rot_body
-    inertia_inv = jnp.linalg.inv(lin.inertia_world)
+    inertia_inv = _inv3(lin.inertia_world)
 
     A = jnp.zeros((12, 12), dtype=dtype)
     A = A.at[0:3, 6:9].set(rm)
@@ -141,7 +164,8 @@ def rk4_step_generic(lin: SrbdLin, x: jnp.ndarray, u: jnp.ndarray, dt: jnp.ndarr
 
     Mirrors `srbd_centroidal_model.py:110-115`.
     """
-    f = lambda xx: dynamics_rhs(lin, xx, u, euler_rate_mode)
+    d = continuous_dynamics(lin, euler_rate_mode)  # affine: build A,B,c once
+    f = lambda xx: d.A @ xx + d.B @ u + d.c
     k1 = f(x)
     k2 = f(x + dt / 2 * k1)
     k3 = f(x + dt / 2 * k2)

@@ -46,6 +46,55 @@ def _quat_from_euler(rpy: jnp.ndarray) -> jnp.ndarray:
     ])
 
 
+def make_affine_rk4_step(robot, dt: float):
+    """Closed-form RK4 step of the affine SRBD model, batched.
+
+    Within a tick the affine model's (`srbd.continuous_dynamics`) angular/
+    linear accelerations c_w, c_v are constant and only rpy_dot = R^T w,
+    p_dot = v depend on the state, so the literal 4-stage RK4
+    (`srbd.rk4_step_generic`, the test oracle) collapses EXACTLY to
+        w+ = w + dt c_w                v+ = v + dt c_v
+        rpy+ = rpy + dt R^T (w + dt/2 c_w)
+        p+   = p + dt (v + dt/2 c_v)
+    — a handful of (B, 3) ops instead of (B, 12, 12) affine-matrix
+    materialization (which is HBM-bound at ~7% tile utilization and
+    dominated the whole rollout: 11.2 ms/tick at batch 4096 vs 0.28 ms
+    for the entire control stack). Equality to rk4_step_generic is pinned
+    by tests/test_tpu_rollout.py::test_affine_rk4_closed_form_matches_oracle.
+    """
+    i_body_inv = srbd._inv3(jnp.asarray(robot.i_body, jnp.float32))
+    mass = jnp.float32(robot.mass)
+    g_vec = jnp.array([0.0, 0.0, -srbd.GRAVITY], jnp.float32)
+
+    def step(x, u, foot_w, rot):
+        """x (B,12), u (B,4,3) [F_L,F_R,M_L,M_R] world, foot_w (B,2,3),
+        rot (B,3,3) body-to-world at the linearization point."""
+        rpy, pos = x[:, 0:3], x[:, 3:6]
+        w, v = x[:, 6:9], x[:, 9:12]
+
+        # Torque about the body: skew(p_f - p_b) F + M; then
+        # I_w^{-1} tau = R I_b^{-1} R^T tau (closed-form 3x3 inverse once).
+        r_feet = foot_w - pos[:, None, :]  # (B, 2, 3)
+        tau = (
+            jnp.cross(r_feet[:, 0], u[:, 0]) + jnp.cross(r_feet[:, 1], u[:, 1])
+            + u[:, 2] + u[:, 3]
+        )  # (B, 3) world frame
+        c_w = jnp.einsum("bij,jk,blk,bl->bi", rot, i_body_inv, rot, tau)
+        c_v = (u[:, 0] + u[:, 1]) / mass + g_vec
+
+        # rt_omega mode: rpy_dot = R^T w (the shipped CUDA convention).
+        w_mid = w + (dt / 2) * c_w
+        rpy_dot = jnp.einsum("bji,bj->bi", rot, w_mid)
+        return jnp.concatenate([
+            rpy + dt * rpy_dot,
+            pos + dt * (v + (dt / 2) * c_v),
+            w + dt * c_w,
+            v + dt * c_v,
+        ], axis=1)
+
+    return step
+
+
 def make_rollout(core: BipedControllerCore, num_envs: int, seconds: float):
     """Build (rollout_fn, init_carry). rollout_fn: carry -> (carry, traj).
 
@@ -59,16 +108,7 @@ def make_rollout(core: BipedControllerCore, num_envs: int, seconds: float):
     decimation = core.mpc_cfg.decimation
     cycles = int(seconds / dt) // decimation
     dof = robot.num_dof
-
-    lin_template = srbd.SrbdLin(
-        rot_body=jnp.eye(3),
-        inertia_world=jnp.asarray(robot.i_body, jnp.float32),
-        body_pos=jnp.zeros(3),
-        foot_pos=jnp.zeros((2, 3)),
-        mass=jnp.asarray(robot.mass, jnp.float32),
-        residual_lin_accel=jnp.zeros(3),
-        residual_ang_accel=jnp.zeros(3),
-    )
+    rk4_step = make_affine_rk4_step(robot, dt)
 
     def assemble_obs(x, foot_w):
         """Batched controller observation + per-env rotation matrices."""
@@ -88,7 +128,7 @@ def make_rollout(core: BipedControllerCore, num_envs: int, seconds: float):
         return jax.vmap(one)(x, foot_w)
 
     def plant_tick(x, foot_w, rot, grf, contact, p_des_b):
-        """Foot pinning + gated GRFs + one SRBD RK4 step (all batched)."""
+        """Foot pinning + contact-gated GRFs + one closed-form RK4 step."""
         p_des_w = jnp.einsum("bij,blj->bli", rot, p_des_b) + x[:, None, 3:6]
         foot_w = jnp.where(contact[:, :, None] > 0.5, foot_w, p_des_w)
         foot_w = foot_w.at[:, :, 2].set(jnp.maximum(foot_w[:, :, 2], 0.0))
@@ -96,19 +136,8 @@ def make_rollout(core: BipedControllerCore, num_envs: int, seconds: float):
         gate = jnp.concatenate(
             [contact[:, 0:1], contact[:, 1:2]] * 2, axis=1
         )  # (B, 4) for [F_L, F_R, M_L, M_R]
-        grf = grf.reshape(-1, 4, 3) * gate[:, :, None]
-        grf = grf.reshape(-1, 12)
-
-        def one(xi, ui, feet, rot_i):
-            lin = lin_template._replace(
-                rot_body=rot_i,
-                inertia_world=rot_i @ lin_template.inertia_world @ rot_i.T,
-                body_pos=xi[3:6],
-                foot_pos=feet,
-            )
-            return srbd.rk4_step_generic(lin, xi, ui, dt)
-
-        return jax.vmap(one)(x, grf, foot_w, rot), foot_w
+        u = grf.reshape(-1, 4, 3) * gate[:, :, None]
+        return rk4_step(x, u, foot_w, rot), foot_w
 
     def lowlevel_and_plant(state, x, foot_w, grf, rot):
         state = core.run_lowlevel(state)

@@ -69,10 +69,14 @@ def test_pdipm_matches_golden(backend):
     res = jax.jit(
         lambda q: pdipm.solve(q, pdipm.PdipmOptions(backend=backend))
     )(qp)
-    np.testing.assert_allclose(np.asarray(res.x), gx, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(res.s), gs, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(res.z), gz, atol=1e-7)
-    np.testing.assert_allclose(np.asarray(res.y), gy, atol=1e-6)
+    # atol 1e-5: the closed-form 3x3 inertia inverse (`srbd._inv3`) rounds
+    # ~1e-16 differently from LAPACK's LU; 20 near-complementarity Newton
+    # iterations amplify that to a few 1e-6 on weakly-determined entries
+    # (same class as the reassociation noise documented in the BCR test).
+    np.testing.assert_allclose(np.asarray(res.x), gx, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.s), gs, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.z), gz, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.y), gy, atol=1e-5)
     # residual norms live at ~1e-11; compare with an absolute floor
     np.testing.assert_allclose(
         np.asarray(res.residuals), gres, rtol=1e-6, atol=1e-13

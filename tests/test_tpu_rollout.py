@@ -13,7 +13,59 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
-from tpu_rollout import run
+from tpu_rollout import make_affine_rk4_step, run
+
+
+def test_affine_rk4_closed_form_matches_oracle():
+    """The rollout's closed-form RK4 equals the literal 4-stage oracle.
+
+    For the affine SRBD model only rpy_dot/p_dot depend on the state, so
+    the 4-stage Runge-Kutta sum telescopes to the midpoint closed form —
+    an algebraic identity, checked here against `srbd.rk4_step_generic`
+    on random states/forces.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from biped_pympc_tpu.models import srbd
+    from biped_pympc_tpu.models.robot import get_robot
+    from biped_pympc_tpu.utils.maths import quat_to_rotmat
+
+    robot = get_robot("HECTOR")
+    dt = 0.001
+    rng = np.random.default_rng(0)
+    B = 16
+    x = rng.uniform(-0.5, 0.5, (B, 12)).astype(np.float32)
+    u = rng.uniform(-80, 80, (B, 4, 3)).astype(np.float32)
+    foot_w = rng.uniform(-0.3, 0.3, (B, 2, 3)).astype(np.float32)
+
+    quat = np.zeros((B, 4), np.float32)
+    ang = rng.uniform(-0.4, 0.4, B)
+    quat[:, 0] = np.cos(ang / 2)
+    quat[:, 2] = np.sin(ang / 2)
+    rot = np.asarray(jax.vmap(quat_to_rotmat)(jnp.asarray(quat)))
+
+    fast = make_affine_rk4_step(robot, dt)
+    got = np.asarray(fast(jnp.asarray(x), jnp.asarray(u),
+                          jnp.asarray(foot_w), jnp.asarray(rot)))
+
+    def oracle(xi, ui, feet, rot_i):
+        lin = srbd.SrbdLin(
+            rot_body=rot_i,
+            inertia_world=rot_i @ jnp.asarray(robot.i_body, jnp.float32)
+            @ rot_i.T,
+            body_pos=xi[3:6],
+            foot_pos=feet,
+            mass=jnp.float32(robot.mass),
+            residual_lin_accel=jnp.zeros(3),
+            residual_ang_accel=jnp.zeros(3),
+        )
+        return srbd.rk4_step_generic(lin, xi, ui.reshape(12), dt)
+
+    want = np.asarray(jax.vmap(oracle)(
+        jnp.asarray(x), jnp.asarray(u), jnp.asarray(foot_w), jnp.asarray(rot)
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
 
 
 def test_jitted_rollout_walks():
