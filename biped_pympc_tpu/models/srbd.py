@@ -31,6 +31,12 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+# Closed-form 3x3 inverse: `jnp.linalg.inv` lowers to a sequential LU
+# custom call that is orders of magnitude slower on TPU for tiny matrices
+# (it alone dominated the rollout plant tick at batch 4096: ~14.5 ms vs
+# ~0.27 ms for the whole control stack).
+from biped_pympc_tpu.ops.linalg import inverse_3x3 as _inv3
+
 GRAVITY = 9.81
 
 
@@ -64,27 +70,6 @@ def _skew(v):
     return jnp.array([[o, -z, y], [z, o, -x], [-y, x, o]])
 
 
-def _inv3(m: jnp.ndarray) -> jnp.ndarray:
-    """Closed-form 3x3 inverse (adjugate / determinant).
-
-    `jnp.linalg.inv` lowers to a sequential LU custom call that is orders of
-    magnitude slower on TPU for tiny matrices (it alone dominated the rollout
-    plant tick at batch 4096: ~14.5 ms vs ~0.27 ms for the whole control
-    stack); the cofactor form is pure elementwise math and vmaps freely.
-    """
-    a, b, c = m[0, 0], m[0, 1], m[0, 2]
-    d, e, f = m[1, 0], m[1, 1], m[1, 2]
-    g, h, i = m[2, 0], m[2, 1], m[2, 2]
-    co_a = e * i - f * h
-    co_b = f * g - d * i
-    co_c = d * h - e * g
-    det = a * co_a + b * co_b + c * co_c
-    adj = jnp.array([
-        [co_a, c * h - b * i, b * f - c * e],
-        [co_b, a * i - c * g, c * d - a * f],
-        [co_c, b * g - a * h, a * e - b * d],
-    ])
-    return adj / det
 
 
 def continuous_dynamics(lin: SrbdLin, euler_rate_mode: str = "rt_omega") -> AffineDynamics:

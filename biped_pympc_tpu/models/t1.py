@@ -24,6 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from biped_pympc_tpu.ops import linalg
 from biped_pympc_tpu.models.chain import (
     SerialChain,
     forward_kinematics as _chain_fk,
@@ -145,7 +146,9 @@ def analytical_ik_newton(p_foot_b: jnp.ndarray, leg: int,
         j4 = jac[:, active]  # (3, 4)
         r = p_foot_b - p
         m = j4 @ j4.T + lam * jnp.eye(3, dtype=dtype)
-        dq4 = j4.T @ jnp.linalg.solve(m, r)
+        # Closed-form 3x3 inverse: jnp.linalg.solve's LU custom call is
+        # orders of magnitude slower on TPU for tiny systems.
+        dq4 = j4.T @ (linalg.inverse_3x3(m) @ r)
         q = q.at[active].add(dq4)
         return q, None
 

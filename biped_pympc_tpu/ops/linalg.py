@@ -21,6 +21,28 @@ import jax
 import jax.numpy as jnp
 
 
+def inverse_3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / determinant), batch-friendly.
+
+    Pure elementwise math — no LU custom call, no sequential loop; the
+    right tool for inertia tensors and Gauss-Newton normal matrices.
+    Accepts (..., 3, 3).
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co_a = e * i - f * h
+    co_b = f * g - d * i
+    co_c = d * h - e * g
+    det = a * co_a + b * co_b + c * co_c
+    adj = jnp.stack([
+        jnp.stack([co_a, c * h - b * i, b * f - c * e], axis=-1),
+        jnp.stack([co_b, a * i - c * g, c * d - a * f], axis=-1),
+        jnp.stack([co_c, b * g - a * h, a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj / det[..., None, None]
+
+
 def gauss_jordan_inverse(a: jnp.ndarray) -> jnp.ndarray:
     """Invert a batch of small square matrices with partial pivoting.
 

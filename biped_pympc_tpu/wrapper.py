@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from biped_pympc_tpu.config import ControllerConf, MPCConf
+from biped_pympc_tpu.ops import linalg
 from biped_pympc_tpu.control import gait, swing
 from biped_pympc_tpu.control.controller import BipedControllerCore, ControllerState
 
@@ -150,7 +151,9 @@ class MPCController:
         i_world = jnp.einsum(
             "bij,jk,blk->bil", rot, jnp.asarray(robot.i_body, w.dtype), rot
         )
-        ang = jnp.linalg.solve(i_world, jnp.sum(w[:, :, 3:], axis=1)[..., None])[..., 0]
+        ang = jnp.einsum(
+            "bij,bj->bi", linalg.inverse_3x3(i_world), jnp.sum(w[:, :, 3:], axis=1)
+        )
         return jnp.concatenate([lin, ang], axis=1)
 
     @property
