@@ -193,9 +193,16 @@ def init_carry(core: BipedControllerCore, num_envs: int, vx: float,
 
 
 def run(num_envs: int = 4, seconds: float = 2.0, vx: float = 0.3,
-        solver: str = "tridiag_aug", height: float = 0.55):
+        solver: str = "tridiag_aug", robot_name: str = "HECTOR",
+        height: float | None = None):
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
-    core = BipedControllerCore(cfg, MPCConf(solver=solver), gait_id=2)
+    # T1 needs HECTOR-equivalent force authority (see closed_loop_sim.py).
+    f_max = 500.0 if robot_name == "HECTOR" else 1450.0
+    if height is None:
+        height = 0.55 if robot_name == "HECTOR" else 0.62
+    core = BipedControllerCore(
+        cfg, MPCConf(solver=solver, robot=robot_name, f_max=f_max), gait_id=2
+    )
     rollout, cycles = make_rollout(core, num_envs, seconds)
     carry = init_carry(core, num_envs, vx, height)
     (state, x, foot_w), traj = rollout(carry)

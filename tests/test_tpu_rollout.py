@@ -68,6 +68,43 @@ def test_affine_rk4_closed_form_matches_oracle():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
 
 
+def test_sharded_rollout_matches_single_device():
+    """The whole-rollout program shards over the env-batch mesh axis.
+
+    8 virtual CPU devices, batch 16 (2 envs/device); the sharded rollout
+    must produce the single-device trajectories exactly (per-env work is
+    independent — sharding introduces no collectives into the hot path).
+    """
+    import jax
+
+    from biped_pympc_tpu import ControllerConf, MPCConf
+    from biped_pympc_tpu.control.controller import BipedControllerCore
+    from biped_pympc_tpu.parallel import mesh as pmesh
+    from tpu_rollout import init_carry, make_rollout
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices (see conftest)")
+
+    B = 16
+    cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
+    core = BipedControllerCore(cfg, MPCConf(solver="tridiag_aug"), gait_id=2)
+    rollout, _ = make_rollout(core, B, 0.3)
+    carry = init_carry(core, B, 0.3, 0.55)
+
+    _, traj_single = rollout(carry)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    carry_sharded = pmesh.shard_state(init_carry(core, B, 0.3, 0.55), mesh)
+    sharded = pmesh.sharded_step(rollout, mesh)
+    _, traj_sharded = sharded(carry_sharded)
+
+    np.testing.assert_allclose(
+        np.asarray(traj_sharded), np.asarray(traj_single), atol=1e-6
+    )
+
+
 def test_jitted_rollout_walks():
     traj = run(num_envs=2, seconds=1.2)  # (cycles, B, 12)
 
