@@ -1,13 +1,15 @@
 """f32 GRF accuracy vs the f64 golden rule solver for pallas_ric variants.
 
-Temporary measurement script: 256 walking-class QPs, u0 (the GRFs) compared
-against `ops/reference_pdipm.py` at 20 iterations. Dense matrices are
-assembled per-env on the host (`dense_matrices` is a NumPy helper).
+Measurement script: 8 distinct contact-chattering walking QPs (tiled to a
+256 batch, `bench_common.make_qp_batch`), u0 (the GRFs) compared against
+`ops/reference_pdipm.py` at 20 iterations.
 """
 
 import json
 
 import numpy as np
+
+from bench_common import make_qp_batch
 
 
 def main():
@@ -15,48 +17,6 @@ def main():
 
     from biped_pympc_tpu.ops import pdipm, pdipm_pallas, reference_pdipm
     from biped_pympc_tpu.ops import qp as qps
-
-    import jax.numpy as jnp
-    from biped_pympc_tpu.models.srbd import SrbdLin
-
-    def make_qp_batch(batch: int, horizon: int = 10):
-        rng = np.random.default_rng(0)
-        qs = []
-        for s in range(8):
-            x0 = jnp.asarray(
-                np.concatenate([
-                    rng.uniform(-0.05, 0.05, 3), [0, 0, 0.55],
-                    rng.uniform(-0.1, 0.1, 3), [0.05 * s, 0, 0],
-                ]).astype(np.float32))
-            x_ref = jnp.tile(
-                jnp.asarray([0, 0, 0, 0, 0, 0.55, 0, 0, 0, 0.3, 0, 0],
-                            jnp.float32), (horizon, 1))
-            contact = jnp.asarray(
-                (np.arange(horizon * 2).reshape(horizon, 2) + s) % 2,
-                jnp.float32)
-            lin = SrbdLin(
-                rot_body=jnp.eye(3, dtype=jnp.float32),
-                inertia_world=jnp.asarray(
-                    np.diag([0.5413, 0.52, 0.0691]), jnp.float32),
-                body_pos=x0[3:6],
-                foot_pos=x0[3:6] + jnp.asarray(
-                    [[0.02, 0.06, -0.55], [0.02, -0.06, -0.55]], jnp.float32),
-                mass=jnp.float32(13.856),
-                residual_lin_accel=jnp.zeros(3, jnp.float32),
-                residual_ang_accel=jnp.zeros(3, jnp.float32),
-            )
-            qs.append(qps.build_qp(
-                lin, x0, x_ref, contact, jnp.float32(0.025), jnp.float32(1.0),
-                jnp.asarray([150, 150, 250, 100, 100, 250, 1, 1, 5, 10, 10, 1],
-                            jnp.float32),
-                jnp.asarray([1e-5] * 6 + [1e-4] * 6, jnp.float32),
-                horizon,
-            ))
-        one = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
-        rep = max(1, batch // 8)
-        full = jax.tree.map(
-            lambda a: jnp.tile(a, (rep,) + (1,) * (a.ndim - 1)), one)
-        return jax.tree.map(lambda a: a[:batch], full)
 
     batch = 256
     qp = make_qp_batch(batch)
@@ -82,10 +42,9 @@ def main():
                                            k_pivot=True),
         "ric_nopivot_r1": pdipm.PdipmOptions(backend="ric", refine_steps=1,
                                              k_pivot=False),
-        "ric2_r1": pdipm.PdipmOptions(backend="ric2", refine_steps=1),
-        "ric2_r2": pdipm.PdipmOptions(backend="ric2", refine_steps=2),
         "ric_nopivot_r2": pdipm.PdipmOptions(backend="ric", refine_steps=2,
                                              k_pivot=False),
+        "ric2_r1": pdipm.PdipmOptions(backend="ric2", refine_steps=1),
         "ric_aug_r1": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1),
     }
     for name, opts in variants.items():

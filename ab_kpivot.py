@@ -1,9 +1,10 @@
-"""Interleaved A/B: pallas_ric with pivoted vs no-pivot K inverses.
+"""Interleaved A/B timing of the pallas_ric K-inverse variants.
 
-Temporary measurement script (same methodology as bench_sweep.py): walking
-QPs, chained-scan device timing, A/B interleaved per rep to cancel runtime
-drift. Also reports f32 GRF accuracy of both variants vs the f64 golden rule
-solver on the same problems.
+Measurement script (same methodology as bench_sweep.py): walking stress QPs
+(`bench_common.make_qp_batch`), chained-scan device timing, variants
+interleaved per rep to cancel runtime drift. Variants: pivoted GJ, no-pivot
+GJ (the default), and the rank-2 Schur "ric2" form. f32 accuracy of the
+same variants is measured by `ab_accuracy.py`.
 """
 
 import json
@@ -11,56 +12,17 @@ import time
 
 import numpy as np
 
+from bench_common import make_qp_batch
+
 
 def main():
     import jax
     import jax.numpy as jnp
 
-    from biped_pympc_tpu.models.srbd import SrbdLin
     from biped_pympc_tpu.ops import pdipm, pdipm_pallas
-    from biped_pympc_tpu.ops import qp as qps
     from biped_pympc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-
-    def make_qp_batch(batch: int, horizon: int = 10):
-        rng = np.random.default_rng(0)
-        qs = []
-        for s in range(8):
-            x0 = jnp.asarray(
-                np.concatenate([
-                    rng.uniform(-0.05, 0.05, 3), [0, 0, 0.55],
-                    rng.uniform(-0.1, 0.1, 3), [0.05 * s, 0, 0],
-                ]).astype(np.float32))
-            x_ref = jnp.tile(
-                jnp.asarray([0, 0, 0, 0, 0, 0.55, 0, 0, 0, 0.3, 0, 0],
-                            jnp.float32), (horizon, 1))
-            contact = jnp.asarray(
-                (np.arange(horizon * 2).reshape(horizon, 2) + s) % 2,
-                jnp.float32)
-            lin = SrbdLin(
-                rot_body=jnp.eye(3, dtype=jnp.float32),
-                inertia_world=jnp.asarray(
-                    np.diag([0.5413, 0.52, 0.0691]), jnp.float32),
-                body_pos=x0[3:6],
-                foot_pos=x0[3:6] + jnp.asarray(
-                    [[0.02, 0.06, -0.55], [0.02, -0.06, -0.55]], jnp.float32),
-                mass=jnp.float32(13.856),
-                residual_lin_accel=jnp.zeros(3, jnp.float32),
-                residual_ang_accel=jnp.zeros(3, jnp.float32),
-            )
-            qs.append(qps.build_qp(
-                lin, x0, x_ref, contact, jnp.float32(0.025), jnp.float32(1.0),
-                jnp.asarray([150, 150, 250, 100, 100, 250, 1, 1, 5, 10, 10, 1],
-                            jnp.float32),
-                jnp.asarray([1e-5] * 6 + [1e-4] * 6, jnp.float32),
-                horizon,
-            ))
-        one = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
-        rep = max(1, batch // 8)
-        full = jax.tree.map(
-            lambda a: jnp.tile(a, (rep,) + (1,) * (a.ndim - 1)), one)
-        return jax.tree.map(lambda a: a[:batch], full)
 
     def make_chained(solve_fn, chain):
         @jax.jit
@@ -76,13 +38,13 @@ def main():
     chain = 10
     reps = 6
     variants = {
+        "pivot": pdipm.PdipmOptions(backend="ric", refine_steps=1,
+                                    k_pivot=True),
         "nopivot": pdipm.PdipmOptions(backend="ric", refine_steps=1,
                                       k_pivot=False),
         "ric2": pdipm.PdipmOptions(backend="ric2", refine_steps=1),
-        "ric2_r2": pdipm.PdipmOptions(backend="ric2", refine_steps=2),
     }
 
-    # --- interleaved timing ----------------------------------------------
     for batch in (256, 1024, 4096):
         qp = make_qp_batch(batch)
         fns = {

@@ -82,17 +82,6 @@ def main():
             return srbd.rk4_step_generic(lin, xi, ui, dt)
         return jax.vmap(one)(x, grf0, foot_w)
 
-    stages = {
-        "obs": lambda: jax.lax.scan(
-            lambda c, _: (assemble_obs(c, foot_w)[0][:, :12], None),
-            x, None, length=chain)[0].sum(),
-        "ingest": lambda: jax.lax.scan(
-            lambda c, _: (core.ingest_state(
-                c, obs0).leg_data.q.reshape(batch, -1)[:, :1] * 0 + c.gait_phase[:, None],
-                None),
-            state0, None, length=0)  # placeholder, replaced below
-    }
-
     # ingest: chain through gait_phase to serialize
     @jax.jit
     def ingest_chain(st, obs):

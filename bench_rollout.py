@@ -44,7 +44,7 @@ def main():
         core = BipedControllerCore(
             cfg, MPCConf(solver=args.solver), gait_id=2
         )
-        rollout, cycles = make_rollout(core, batch, args.seconds)
+        rollout, cycles = make_rollout(core, args.seconds)
         carry = init_carry(core, batch, 0.3, 0.55)
 
         t0 = time.perf_counter()

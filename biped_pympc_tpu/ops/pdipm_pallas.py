@@ -502,6 +502,31 @@ def _pdipm_kernel(
     def split_lanes(x, n):
         return [x[..., i * bt: (i + 1) * bt] for i in range(n)]
 
+    def _ric_tail(kuu_st):
+        """Shared dual-Riccati y-chain from the (u,u) block of K^-1.
+
+        Returns (yhat_inv list of T (12,12,bt), s_coup (12,12,bt),
+        bd_st (12,12,T*bt)) — used identically by "ric" and "ric2"."""
+        eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
+        bd_st = jnp.concatenate([bd] * T, axis=-1)
+        bkb_st = _mm(_mm(bd_st, kuu_st), jnp.swapaxes(bd_st, 0, 1))
+        bkb = split_lanes(bkb_st, T)
+
+        adq = ad * q_inv[None, :, :]
+        adqad = jnp.sum(adq[:, None, :, :] * ad[None, :, :, :], axis=2)
+        s_coup = q_inv[:, None, :] * jnp.swapaxes(ad, 0, 1)  # Q~^-1 Ad^T
+        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
+
+        yhat_inv = []
+        m_prev = None
+        for t in range(T):
+            yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
+            if t >= 1:
+                yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
+            m_prev = _gj_inverse_nopivot(yy)  # yy is negative definite
+            yhat_inv.append(m_prev)
+        return yhat_inv, s_coup, bd_st
+
     def factor_ric2(w_inv):
         """Rank-2 variant of `factor_ric`: the 2-wide nu block (diagonal
         -delta pivot) is eliminated by the Schur identity instead of sitting
@@ -512,7 +537,7 @@ def _pdipm_kernel(
         S = -delta I - E Ru^-1 E^T (2x2, negative definite). E Ru^-1 is rows
         [6, 9] of the symmetric Ru^-1 — a free static slice.
 
-        Returns (ru_inv_st, erui_st, snu_inv_st, yhat_inv, s_coup, bd_st)."""
+        Returns (kinv callable, yhat_inv, s_coup, bd_st)."""
         w_s = w_inv.reshape(T, N_INEQ_PER_STAGE, bt)
         eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
 
@@ -545,24 +570,8 @@ def _pdipm_kernel(
         si_er = _mm(snu_inv_st, erui_st)  # (2, 12, T*bt)
         kuu_st = ru_inv_st + _mtm(erui_st, si_er)
 
-        bd_st = jnp.concatenate([bd] * T, axis=-1)
-        bkb_st = _mm(_mm(bd_st, kuu_st), jnp.swapaxes(bd_st, 0, 1))
-        bkb = split_lanes(bkb_st, T)
-
-        adq = ad * q_inv[None, :, :]
-        adqad = jnp.sum(adq[:, None, :, :] * ad[None, :, :, :], axis=2)
-        s_coup = q_inv[:, None, :] * jnp.swapaxes(ad, 0, 1)
-        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
-
-        yhat_inv = []
-        m_prev = None
-        for t in range(T):
-            yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
-            if t >= 1:
-                yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
-            m_prev = _gj_inverse_nopivot(yy)  # yy is negative definite
-            yhat_inv.append(m_prev)
-        return ru_inv_st, erui_st, snu_inv_st, yhat_inv, s_coup, bd_st
+        kinv = lambda r: _kinv2_apply(ru_inv_st, erui_st, snu_inv_st, r)
+        return (kinv,) + _ric_tail(kuu_st)
 
     def _kinv2_apply(ru_inv_st, erui_st, snu_inv_st, r_un_st):
         """K^-1 @ [r_u; r_nu] via the rank-2 block formula; (14, L)->(14, L)."""
@@ -575,72 +584,8 @@ def _pdipm_kernel(
         du = t1 - jnp.sum(erui_st * eta[:, None, :], axis=0)
         return jnp.concatenate([du, eta], axis=0)
 
-    def ric2_solve(r1_hat, r4, ru_inv_st, erui_st, snu_inv_st, yhat_inv,
-                   s_coup, bd_st):
-        """`ric_solve` with K^-1 applied through the rank-2 formula."""
-        kinv = lambda r: _kinv2_apply(ru_inv_st, erui_st, snu_inv_st, r)
-        rx = r1_hat[: NX * T].reshape(T, NX, bt)
-        ru_r = r1_hat[NX * T:].reshape(T, NU, bt)
-        ry = r4[: NX * T].reshape(T, NX, bt)
-        rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE, bt)
-
-        adq = ad * q_inv[None, :, :]
-        ry_c = ry - q_inv[None] * rx
-        shift = jnp.sum(adq[None] * rx[:, None, :, :], axis=2)
-        ry_c = jnp.concatenate([ry_c[:1], ry_c[1:] + shift[:-1]], axis=0)
-
-        r_un = jnp.concatenate([ru_r, rnu], axis=1)  # (T, 14, bt)
-        r_un_st = jnp.concatenate([r_un[t] for t in range(T)], axis=-1)
-        kr_st = kinv(r_un_st)  # (14, T*bt)
-        ry2_st = jnp.concatenate(
-            [ry_c[t] for t in range(T)], axis=-1
-        ) + _mv(bd_st, kr_st[:NU])
-        ry2 = split_lanes(ry2_st, T)
-
-        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
-        g = []
-        g_prev = None
-        for t in range(T):
-            if g_prev is None:
-                g_t = ry2[t]
-            else:
-                g_t = ry2[t] - _mv(s_coup_t, _mv(yhat_inv[t - 1], g_prev))
-            g.append(g_t)
-            g_prev = g_t
-
-        wy = [None] * T
-        y_next = None
-        for t in range(T - 1, -1, -1):
-            rhs = g[t] if y_next is None else g[t] - _mv(s_coup, y_next)
-            y_next = _mv(yhat_inv[t], rhs)
-            wy[t] = y_next
-        wy_arr = jnp.stack(wy)  # (T, 12, bt)
-        wy_st = jnp.concatenate(wy, axis=-1)  # (12, T*bt)
-
-        btwy_st = _mv(jnp.swapaxes(bd_st, 0, 1), wy_st)
-        rhs_un_st = jnp.concatenate(
-            [r_un_st[:NU] + btwy_st, r_un_st[NU:]], axis=0
-        )
-        un_st = kinv(rhs_un_st)  # (14, T*bt)
-        un = split_lanes(un_st, T)
-
-        xs = q_inv[None] * (rx - wy_arr)
-        adTwy = jnp.sum(ad[None] * wy_arr[:, :, None, :], axis=1)
-        xs = jnp.concatenate(
-            [xs[:-1] + q_inv[None] * adTwy[1:], xs[-1:]], axis=0
-        )
-
-        du = jnp.stack([u[:NU] for u in un]).reshape(NU * T, bt)
-        dnu = jnp.stack([u[NU:] for u in un]).reshape(N_MX_PER_STAGE * T, bt)
-        dy = wy_arr.reshape(NX * T, bt)
-        dx = xs.reshape(NX * T, bt)
-        return (
-            jnp.concatenate([dx, du], axis=0),
-            jnp.concatenate([dy, dnu], axis=0),
-        )
-
     def factor_ric(w_inv):
-        """Returns (k_inv_st (14,14,T*bt), yhat_inv list of T (12,12,bt),
+        """Returns (kinv callable, yhat_inv list of T (12,12,bt),
         s_coup (12,12,bt), bd_st (12,12,T*bt)) — all values, no scratch."""
         w_s = w_inv.reshape(T, N_INEQ_PER_STAGE, bt)
         eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
@@ -667,28 +612,11 @@ def _pdipm_kernel(
         k_gj = _gj_inverse if opts.k_pivot else _gj_inverse_nopivot
         k_inv_st = k_gj(jnp.concatenate(ks, axis=-1))  # (14,14,T*bt)
 
+        kinv = lambda r: _mv(k_inv_st, r)
         # Y'_t = Y_t - Bd (K_t^-1)_uu Bd^T, batched across stages in lanes.
-        kuu_st = k_inv_st[:NU, :NU, :]
-        bd_st = jnp.concatenate([bd] * T, axis=-1)
-        bkb_st = _mm(_mm(bd_st, kuu_st), jnp.swapaxes(bd_st, 0, 1))
-        bkb = split_lanes(bkb_st, T)
+        return (kinv,) + _ric_tail(k_inv_st[:NU, :NU, :])
 
-        adq = ad * q_inv[None, :, :]
-        adqad = jnp.sum(adq[:, None, :, :] * ad[None, :, :, :], axis=2)
-        s_coup = q_inv[:, None, :] * jnp.swapaxes(ad, 0, 1)  # Q~^-1 Ad^T
-        s_coup_t = jnp.swapaxes(s_coup, 0, 1)
-
-        yhat_inv = []
-        m_prev = None
-        for t in range(T):
-            yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
-            if t >= 1:
-                yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
-            m_prev = _gj_inverse_nopivot(yy)  # yy is negative definite
-            yhat_inv.append(m_prev)
-        return k_inv_st, yhat_inv, s_coup, bd_st
-
-    def ric_solve(r1_hat, r4, k_inv_st, yhat_inv, s_coup, bd_st):
+    def ric_solve(r1_hat, r4, kinv, yhat_inv, s_coup, bd_st):
         """Fold rhs onto the y-chain, two 12-wide sweeps, back-substitute."""
         rx = r1_hat[: NX * T].reshape(T, NX, bt)
         ru_r = r1_hat[NX * T:].reshape(T, NU, bt)
@@ -702,7 +630,7 @@ def _pdipm_kernel(
 
         r_un = jnp.concatenate([ru_r, rnu], axis=1)  # (T, 14, bt)
         r_un_st = jnp.concatenate([r_un[t] for t in range(T)], axis=-1)
-        kr_st = _mv(k_inv_st, r_un_st)  # (14, T*bt)
+        kr_st = kinv(r_un_st)  # (14, T*bt)
         # r'_y = r_y - F K^-1 r_un = r_y + Bd (K^-1 r_un)_u
         ry2_st = jnp.concatenate(
             [ry_c[t] for t in range(T)], axis=-1
@@ -734,7 +662,7 @@ def _pdipm_kernel(
         rhs_un_st = jnp.concatenate(
             [r_un_st[:NU] + btwy_st, r_un_st[NU:]], axis=0
         )
-        un_st = _mv(k_inv_st, rhs_un_st)  # (14, T*bt)
+        un_st = kinv(rhs_un_st)  # (14, T*bt)
         un = split_lanes(un_st, T)
 
         xs = q_inv[None] * (rx - wy_arr)
@@ -1005,8 +933,10 @@ def _pdipm_kernel(
                 factors = factor_ric(w_inv)
                 solve_fn = ric_solve
             elif use_ric2:
+                # Same solve as "ric": the factor returns a different
+                # kinv-apply callable (the rank-2 block formula).
                 factors = factor_ric2(w_inv)
-                solve_fn = ric2_solve
+                solve_fn = ric_solve
             else:
                 factors = factor_bcr(w_inv)
                 solve_fn = bcr_solve

@@ -95,7 +95,7 @@ def make_affine_rk4_step(robot, dt: float):
     return step
 
 
-def make_rollout(core: BipedControllerCore, num_envs: int, seconds: float):
+def make_rollout(core: BipedControllerCore, seconds: float):
     """Build (rollout_fn, init_carry). rollout_fn: carry -> (carry, traj).
 
     traj holds one snapshot per MPC cycle: body state x (B, 12).
@@ -203,7 +203,7 @@ def run(num_envs: int = 4, seconds: float = 2.0, vx: float = 0.3,
     core = BipedControllerCore(
         cfg, MPCConf(solver=solver, robot=robot_name, f_max=f_max), gait_id=2
     )
-    rollout, cycles = make_rollout(core, num_envs, seconds)
+    rollout, cycles = make_rollout(core, seconds)
     carry = init_carry(core, num_envs, vx, height)
     (state, x, foot_w), traj = rollout(carry)
     return np.asarray(traj)  # (cycles, B, 12)

@@ -69,14 +69,17 @@ def test_pdipm_matches_golden(backend):
     res = jax.jit(
         lambda q: pdipm.solve(q, pdipm.PdipmOptions(backend=backend))
     )(qp)
-    # atol 1e-5: the closed-form 3x3 inertia inverse (`srbd._inv3`) rounds
-    # ~1e-16 differently from LAPACK's LU; 20 near-complementarity Newton
-    # iterations amplify that to a few 1e-6 on weakly-determined entries
-    # (same class as the reassociation noise documented in the BCR test).
-    np.testing.assert_allclose(np.asarray(res.x), gx, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(res.s), gs, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(res.z), gz, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(res.y), gy, atol=1e-5)
+    # Two-tier bound: the bulk of entries must stay tight (median < 3e-7,
+    # measured medians are <= 5.3e-8 across all four backends — the real
+    # regression tripwire); a worst-entry allowance of 1e-5 covers the
+    # weakly-determined tail where roundoff-level input differences (e.g.
+    # the closed-form 3x3 inertia inverse `srbd._inv3` vs LAPACK's LU) are
+    # amplified by 20 near-complementarity Newton iterations (same class as
+    # the reassociation noise documented in the BCR test).
+    for got, want in [(res.x, gx), (res.s, gs), (res.z, gz), (res.y, gy)]:
+        err = np.abs(np.asarray(got) - want)
+        assert np.median(err) < 3e-7, (backend, np.sort(err)[-5:])
+        assert err.max() < 1e-5, (backend, np.sort(err)[-5:])
     # residual norms live at ~1e-11; compare with an absolute floor
     np.testing.assert_allclose(
         np.asarray(res.residuals), gres, rtol=1e-6, atol=1e-13

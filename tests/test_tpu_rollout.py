@@ -90,7 +90,7 @@ def test_sharded_rollout_matches_single_device():
     B = 16
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
     core = BipedControllerCore(cfg, MPCConf(solver="tridiag_aug"), gait_id=2)
-    rollout, _ = make_rollout(core, B, 0.3)
+    rollout, _ = make_rollout(core, 0.3)
     carry = init_carry(core, B, 0.3, 0.55)
 
     _, traj_single = rollout(carry)
