@@ -1,0 +1,72 @@
+"""Interleaved A/B timing of the Gauss-Jordan inverse forms in pallas_ric.
+
+"tableau": augmented (n, 2n, B) elimination; "inplace": in-situ Jordan
+inversion on (n, n, B) (half the per-step tile traffic). Same methodology
+as ab_kpivot.py: walking stress QPs, chained-scan device timing, variants
+interleaved per rep.
+"""
+
+import json
+import time
+
+import numpy as np
+
+from bench_common import make_qp_batch
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from biped_pympc_tpu.ops import pdipm, pdipm_pallas
+    from biped_pympc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    def make_chained(solve_fn, chain):
+        @jax.jit
+        def chained(q):
+            def body(carry, _):
+                qq = q._replace(f=q.f + 1e-12 * carry)
+                res = solve_fn(qq)
+                return res.x, ()
+            out, _ = jax.lax.scan(body, jnp.zeros_like(q.f), None, length=chain)
+            return out[:, 0].sum()
+        return chained
+
+    chain = 10
+    reps = 6
+    variants = {
+        "ric_tab": pdipm.PdipmOptions(backend="ric", refine_steps=1,
+                                      gj_form="tableau"),
+        "ric_inp": pdipm.PdipmOptions(backend="ric", refine_steps=1,
+                                      gj_form="inplace"),
+        "ricaug_tab": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1,
+                                         gj_form="tableau"),
+        "ricaug_inp": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1,
+                                         gj_form="inplace"),
+    }
+
+    for batch in (256, 1024, 4096):
+        qp = make_qp_batch(batch)
+        fns = {
+            name: make_chained(
+                lambda q, o=opts: pdipm_pallas.solve(q, o), chain)
+            for name, opts in variants.items()
+        }
+        for fn in fns.values():
+            np.asarray(fn(qp))  # compile
+        times = {name: [] for name in fns}
+        for _ in range(reps):
+            for name, fn in fns.items():
+                t0 = time.perf_counter()
+                np.asarray(fn(qp))
+                times[name].append((time.perf_counter() - t0) / chain)
+        out = {"batch": batch}
+        for name, ts in times.items():
+            out[f"{name}_ms"] = round(1e3 * float(np.median(ts)), 2)
+        print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

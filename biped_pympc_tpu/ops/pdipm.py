@@ -79,6 +79,12 @@ class PdipmOptions(NamedTuple):
     inv_impl: str = "gj"  # "gj" (batched Gauss-Jordan, TPU-fast) or
     # "lapack" (jnp.linalg.inv — XLA's sequential LU, orders of magnitude
     # slower on TPU for tiny matrices; kept as a cross-check)
+    gj_form: str = "inplace"  # Pallas kernels: implementation of the
+    # no-pivot Gauss-Jordan inverses. "inplace" (in-situ Jordan inversion,
+    # (n, n, B) working set) or "tableau" (augmented (n, 2n, B) tableau).
+    # Identical arithmetic recurrence; "inplace" halves the per-step VPU
+    # tile traffic (measured 3-6% faster full MPC solves on the "ric"
+    # backend, neutral on "ric_aug"; see BENCH.md).
     k_pivot: bool = False  # Pallas "ric" kernel only: pivot search in the
     # lane-stacked [u, nu] stage inverses. The blocks are symmetric
     # quasi-definite (SPD R+beta+G^T W^-1 G leading block, then a negative

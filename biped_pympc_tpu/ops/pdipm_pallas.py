@@ -144,6 +144,40 @@ def _gj_inverse_nopivot(s_mat):
     return aug[:, n:, :]
 
 
+def _gj_inverse_nopivot_inplace(s_mat):
+    """Invert (n, n, B) in place (no augmented tableau, no pivot search).
+
+    The classic in-situ Jordan inversion: at step k the stored array holds
+    the partially inverted matrix, so the identity half of the augmented
+    tableau is never materialized — each elimination step updates an
+    (n, n, B) array instead of (n, 2n, B), ~2x less VPU tile traffic than
+    `_gj_inverse_nopivot` at the same flop recurrence. Only valid without
+    pivoting (a row swap would scramble the implicit column permutation),
+    i.e. for the symmetric-definite blocks this kernel feeds it.
+    """
+    n = s_mat.shape[0]
+    a = s_mat
+    dt = s_mat.dtype
+    # Float one-hot masks instead of boolean selects: Mosaic cannot insert
+    # a non-trivial minor dim on sub-32-bit (i1) vectors, and multiplicative
+    # masking maps to plain VPU fma anyway.
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)  # (1, n)
+    for k in range(n):
+        ipiv = 1.0 / a[k, k]  # (B,)
+        ekr = (row_idx == k).astype(dt)  # (n, 1) one-hot at k
+        ekc = (col_idx == k).astype(dt)  # (1, n) one-hot at k
+        # row k of the result: scaled row, diagonal entry -> 1/pivot
+        p_row = a[k] * ipiv[None, :]  # (n, B), indexed by column
+        p_row = p_row + ekr * (ipiv[None, :] - p_row)
+        f = a[:, k, :]  # (n, B) column k (the elimination multipliers)
+        # zero column k so the update writes -f*ipiv there (in-situ Jordan)
+        a_zeroed = a * (1.0 - ekc[:, :, None])
+        upd = a_zeroed - f[:, None, :] * p_row[None, :, :]
+        a = upd + ekr[:, :, None] * (p_row[None, :, :] - upd)
+    return a
+
+
 def _pdipm_kernel(
     horizon: int,
     opts: PdipmOptions,
@@ -158,6 +192,11 @@ def _pdipm_kernel(
     nz = 2 * NX * T
     ni = N_INEQ_PER_STAGE * T
     ne = (NX + N_MX_PER_STAGE) * T
+    gj_nopivot = (
+        _gj_inverse_nopivot_inplace
+        if opts.gj_form == "inplace"
+        else _gj_inverse_nopivot
+    )
 
     hd = hd_ref[...]  # (nz, B)
     f = f_ref[...]
@@ -523,7 +562,7 @@ def _pdipm_kernel(
             yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
             if t >= 1:
                 yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
-            m_prev = _gj_inverse_nopivot(yy)  # yy is negative definite
+            m_prev = gj_nopivot(yy)  # yy is negative definite
             yhat_inv.append(m_prev)
         return yhat_inv, s_coup, bd_st
 
@@ -548,7 +587,7 @@ def _pdipm_kernel(
                 axis=0,
             )
             ks.append(gtwg + eye12 * (r_diag[:, None, :] + opts.beta))
-        ru_inv_st = _gj_inverse_nopivot(jnp.concatenate(ks, axis=-1))
+        ru_inv_st = gj_nopivot(jnp.concatenate(ks, axis=-1))
 
         # E Ru^-1 (2, 12, T*bt) and S^-1 (2, 2, T*bt) in closed form.
         erui_st = jnp.concatenate(
@@ -609,7 +648,7 @@ def _pdipm_kernel(
         # E^T), so natural-order elimination is stable without pivot search
         # (SPD leading-block growth factor 1); opts.k_pivot restores the
         # searched form for diagnostics.
-        k_gj = _gj_inverse if opts.k_pivot else _gj_inverse_nopivot
+        k_gj = _gj_inverse if opts.k_pivot else gj_nopivot
         k_inv_st = k_gj(jnp.concatenate(ks, axis=-1))  # (14,14,T*bt)
 
         kinv = lambda r: _mv(k_inv_st, r)
@@ -737,7 +776,7 @@ def _pdipm_kernel(
             yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :] - bkb[t]
             if t >= 1:
                 yy = yy - adqad - _mm(_mm(s_coup_t, m_prev), s_coup)
-            m_prev = _gj_inverse_nopivot(yy)  # yy is negative definite
+            m_prev = gj_nopivot(yy)  # yy is negative definite
             yhat_inv.append(m_prev)
         return k_inv_st, yhat_inv, s_coup, bd_st
 
