@@ -46,6 +46,13 @@ def main():
                                              k_pivot=False),
         "ric2_r1": pdipm.PdipmOptions(backend="ric2", refine_steps=1),
         "ric_aug_r1": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1),
+        "ric_comb_r1": pdipm.PdipmOptions(backend="ric", refine_steps=1,
+                                          corrector_form="combined"),
+        "ric_comb_r2": pdipm.PdipmOptions(backend="ric", refine_steps=2,
+                                          corrector_form="combined"),
+        "ricaug_comb_r1": pdipm.PdipmOptions(backend="ric_aug",
+                                             refine_steps=1,
+                                             corrector_form="combined"),
     }
     for name, opts in variants.items():
         res = pdipm_pallas.solve(qp, opts)

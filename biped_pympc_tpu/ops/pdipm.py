@@ -81,10 +81,23 @@ class PdipmOptions(NamedTuple):
     # slower on TPU for tiny matrices; kept as a cross-check)
     gj_form: str = "inplace"  # Pallas kernels: implementation of the
     # no-pivot Gauss-Jordan inverses. "inplace" (in-situ Jordan inversion,
-    # (n, n, B) working set) or "tableau" (augmented (n, 2n, B) tableau).
-    # Identical arithmetic recurrence; "inplace" halves the per-step VPU
-    # tile traffic (measured 3-6% faster full MPC solves on the "ric"
-    # backend, neutral on "ric_aug"; see BENCH.md).
+    # (n, n, B) working set, fused to 2 VPU passes per elimination step) or
+    # "tableau" (augmented (n, 2n, B) tableau, 2 passes of twice the
+    # width). Same flop recurrence, half the per-step tile traffic:
+    # measured ~10% faster full MPC solves on the "ric" backend at every
+    # batch, neutral on "ric_aug" (see BENCH.md). The one-hot mask
+    # arithmetic must avoid ~1-sized cancellations (see
+    # `_gj_inverse_nopivot_inplace`) or the 1e8-scale condensed-W blocks
+    # lose the inverse entirely.
+    corrector_form: str = "delta"  # "delta" (reference rule: solve the
+    # corrector increment with zero KKT-residual rhs, add to the refined
+    # affine direction) or "combined" (solve the full combined Mehrotra rhs
+    # once, refined; the affine solve runs UNREFINED and is used only for
+    # sigma and the ds*dz complementarity products). In exact arithmetic
+    # the two are identical — refinement is a linear map, so
+    # refine(r_aff) + refine(r_corr) == refine(r_aff + r_corr) — but
+    # "combined" does one fewer refined solve per iteration (3 vs 4 solves
+    # + 1 vs 2 operator applications at refine_steps=1).
     k_pivot: bool = False  # Pallas "ric" kernel only: pivot search in the
     # lane-stacked [u, nu] stage inverses. The blocks are symmetric
     # quasi-definite (SPD R+beta+G^T W^-1 G leading block, then a negative
@@ -821,10 +834,10 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
             )
             solve_aug = functools.partial(_solve_tridiag_aug, qp, factors)
 
-        def reduced_solve(r1, r2, r3, r4):
+        def reduced_solve(r1, r2, r3, r4, refine=opts.refine_steps):
             r_z = r3 - r2 / sigma_d
             dx, dz, dy = solve_aug(r1, r_z, r4)
-            for _ in range(opts.refine_steps):
+            for _ in range(refine):
                 m1 = (hd + opts.beta) * dx + qps.gT_matvec(qp, dz) \
                     + qps.aT_matvec(qp, dy)
                 mz = qps.g_matvec(qp, dx) - w_diag * dz
@@ -865,10 +878,10 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
             m2 = qps.a_matvec(qp, dx) - opts.delta * dy
             return m1, m2
 
-        def reduced_solve(r1, r2, r3, r4):
+        def reduced_solve(r1, r2, r3, r4, refine=opts.refine_steps):
             r1_hat = r1 + qps.gT_matvec(qp, w_inv * (r3 - r2 / sigma_d))
             dx, dy = solve(r1_hat, r4)
-            for _ in range(opts.refine_steps):
+            for _ in range(refine):
                 m1, m2 = reduced_mv(dx, dy)
                 ex, ey = solve(r1_hat - m1, r4 - m2)
                 dx, dy = dx + ex, dy + ey
@@ -880,8 +893,13 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
     zeros_i = jnp.zeros_like(s)
     zeros_e = jnp.zeros_like(re)
 
-    # Affine (predictor) direction.
-    dx_a, ds_a, dz_a, dy_a = reduced_solve(-rx, -(s * z) / s, -rs, -re)
+    combined = opts.corrector_form == "combined"
+
+    # Affine (predictor) direction. In "combined" form it only feeds sigma
+    # and the ds*dz products, so refinement on it is skipped.
+    dx_a, ds_a, dz_a, dy_a = reduced_solve(
+        -rx, -(s * z) / s, -rs, -re, refine=0 if combined else opts.refine_steps
+    )
     alpha_ap = _frac_to_boundary(s, ds_a, opts)
     alpha_ad = _frac_to_boundary(z, dz_a, opts)
 
@@ -890,9 +908,19 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
 
     # Corrector direction.
     rc = s * z + ds_a * dz_a - sigma * mu
-    dx_c, ds_c, dz_c, dy_c = reduced_solve(zeros_z, -rc / s, zeros_i, zeros_e)
-
-    dx, ds, dz, dy = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c, dy_a + dy_c
+    if combined:
+        # One refined solve of the summed rhs — identical to
+        # refined(affine) + refined(corrector) by linearity of the
+        # refinement map, at one fewer refined solve per iteration. NOTE
+        # the reference's corrector rhs keeps the s*z term even though the
+        # affine rhs already has it (`sparse_pdipm_solver.py:476-486`), so
+        # the sum is -(s*z + rc)/s, not the textbook -rc/s.
+        dx, ds, dz, dy = reduced_solve(-rx, -(s * z + rc) / s, -rs, -re)
+    else:
+        dx_c, ds_c, dz_c, dy_c = reduced_solve(
+            zeros_z, -rc / s, zeros_i, zeros_e
+        )
+        dx, ds, dz, dy = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c, dy_a + dy_c
     alpha_p = _frac_to_boundary(s, ds, opts)
     alpha_d = _frac_to_boundary(z, dz, opts)
 

@@ -167,14 +167,22 @@ def _gj_inverse_nopivot_inplace(s_mat):
         ipiv = 1.0 / a[k, k]  # (B,)
         ekr = (row_idx == k).astype(dt)  # (n, 1) one-hot at k
         ekc = (col_idx == k).astype(dt)  # (1, n) one-hot at k
-        # row k of the result: scaled row, diagonal entry -> 1/pivot
-        p_row = a[k] * ipiv[None, :]  # (n, B), indexed by column
-        p_row = p_row + ekr * (ipiv[None, :] - p_row)
-        f = a[:, k, :]  # (n, B) column k (the elimination multipliers)
-        # zero column k so the update writes -f*ipiv there (in-situ Jordan)
-        a_zeroed = a * (1.0 - ekc[:, :, None])
-        upd = a_zeroed - f[:, None, :] * p_row[None, :, :]
-        a = upd + ekr[:, :, None] * (p_row[None, :, :] - upd)
+        # row k of the result: scaled row, diagonal entry -> 1/pivot.
+        # Multiplicative one-hot, NOT p + ekr*(ipiv - p): the blended form
+        # computes the diagonal as 1 - a_kk*ipiv + ipiv, whose ~1-sized
+        # terms absorb ipiv entirely when a_kk ~ 1e8 (the condensed-W
+        # scale) — measured as a catastrophic inverse error.
+        p_row = ipiv[None, :] * (a[k] * (1.0 - ekr) + ekr)  # (n, B), by col
+        # multipliers; forced to EXACTLY -1 at row k (multiplicative zero
+        # then subtract the one-hot — never a - (a+1), which absorbs the 1
+        # when a_kk ~ 1e8, the condensed-W scale) so the rank-1 update
+        # itself writes +p_row into the (zeroed-by-cross) row k
+        f = a[:, k, :] * (1.0 - ekr) - ekr
+        # cross mask: zero row k AND column k of a — with f_k = -1 the
+        # single fused update then produces every case of the Jordan step:
+        #   i!=k, j!=k: a_ij - f_i p_j ; i!=k, j=k: -f_i/pivot ; i=k: p_row.
+        cross = ((1.0 - ekr) * (1.0 - ekc))[:, :, None]  # (n, n, 1)
+        a = a * cross - f[:, None, :] * p_row[None, :, :]
     return a
 
 
@@ -980,10 +988,10 @@ def _pdipm_kernel(
                 factors = factor_bcr(w_inv)
                 solve_fn = bcr_solve
 
-            def reduced_solve(r1, r2, r3, r4):
+            def reduced_solve(r1, r2, r3, r4, refine=opts.refine_steps):
                 r1_hat = r1 + gT_mv(w_inv * (r3 - r2 / sigma_d))
                 dx, dy = solve_fn(r1_hat, r4, *factors)
-                for _ in range(opts.refine_steps):
+                for _ in range(refine):
                     m1 = (hd + opts.beta) * dx + gT_mv(w_inv * g_mv(dx)) \
                         + aT_mv(dy)
                     m2 = a_mv(dx) - opts.delta * dy
@@ -1004,10 +1012,10 @@ def _pdipm_kernel(
                 factor_aug(w_diag)
                 solve_aug_fn = thomas_solve_aug
 
-            def reduced_solve(r1, r2, r3, r4):
+            def reduced_solve(r1, r2, r3, r4, refine=opts.refine_steps):
                 r_z = r3 - r2 / sigma_d
                 dx, dz, dy = solve_aug_fn(r1, r_z, r4)
-                for _ in range(opts.refine_steps):
+                for _ in range(refine):
                     m1 = (hd + opts.beta) * dx + gT_mv(dz) + aT_mv(dy)
                     mz = g_mv(dx) - w_diag * dz
                     m4 = a_mv(dx) - opts.delta * dy
@@ -1018,10 +1026,10 @@ def _pdipm_kernel(
         else:
             factor(w_inv)
 
-            def reduced_solve(r1, r2, r3, r4):
+            def reduced_solve(r1, r2, r3, r4, refine=opts.refine_steps):
                 r1_hat = r1 + gT_mv(w_inv * (r3 - r2 / sigma_d))
                 dx, dy = thomas_solve(r1_hat, r4)
-                for _ in range(opts.refine_steps):
+                for _ in range(refine):
                     m1 = (hd + opts.beta) * dx + gT_mv(w_inv * g_mv(dx)) \
                         + aT_mv(dy)
                     m2 = a_mv(dx) - opts.delta * dy
@@ -1031,11 +1039,14 @@ def _pdipm_kernel(
                 ds = (r2 - dz) / sigma_d
                 return dx, ds, dz, dy
 
-        zero_nz = jnp.zeros_like(rx)
-        zero_ni = jnp.zeros_like(s)
-        zero_ne = jnp.zeros_like(re)
+        combined = opts.corrector_form == "combined"
 
-        dx_a, ds_a, dz_a, dy_a = reduced_solve(-rx, -(s * z) / s, -rs, -re)
+        # Affine (predictor) direction; with the "combined" corrector it
+        # only feeds sigma and the ds*dz products, so skip refinement there.
+        dx_a, ds_a, dz_a, dy_a = reduced_solve(
+            -rx, -(s * z) / s, -rs, -re,
+            refine=0 if combined else opts.refine_steps,
+        )
         a_p = frac_to_boundary(s, ds_a)
         a_d = frac_to_boundary(z, dz_a)
 
@@ -1045,12 +1056,24 @@ def _pdipm_kernel(
         sigma = (mu_aff / mu) ** 3
 
         rc = s * z + ds_a * dz_a - sigma[None] * mu[None]
-        dx_c, ds_c, dz_c, dy_c = reduced_solve(zero_nz, -rc / s, zero_ni, zero_ne)
-
-        dx = dx_a + dx_c
-        ds = ds_a + ds_c
-        dz = dz_a + dz_c
-        dy = dy_a + dy_c
+        if combined:
+            # One refined solve of the summed rhs (equal to refined affine
+            # + refined corrector by linearity of the refinement map, one
+            # fewer refined solve per iteration). The reference's corrector
+            # rhs keeps s*z (`sparse_pdipm_solver.py:476-486`), so the sum
+            # is -(s*z + rc)/s, not the textbook -rc/s.
+            dx, ds, dz, dy = reduced_solve(-rx, -(s * z + rc) / s, -rs, -re)
+        else:
+            zero_nz = jnp.zeros_like(rx)
+            zero_ni = jnp.zeros_like(s)
+            zero_ne = jnp.zeros_like(re)
+            dx_c, ds_c, dz_c, dy_c = reduced_solve(
+                zero_nz, -rc / s, zero_ni, zero_ne
+            )
+            dx = dx_a + dx_c
+            ds = ds_a + ds_c
+            dz = dz_a + dz_c
+            dy = dy_a + dy_c
         a_p = frac_to_boundary(s, ds)
         a_d = frac_to_boundary(z, dz)
 

@@ -206,3 +206,25 @@ def test_friction_cone_satisfied():
     res = pdipm.solve(qp, pdipm.PdipmOptions(backend="tridiag"))
     g_viol = np.asarray(qps.g_matvec(qp, res.x)) - np.asarray(qps.d_vec(qp))
     assert g_viol.max() < 1e-5
+
+
+def test_combined_corrector_matches_delta_form():
+    """corrector_form="combined" equals the reference "delta" form.
+
+    The reference solves the corrector increment with zero KKT-residual rhs
+    and ADDS it to the (refined) affine direction
+    (`sparse_pdipm_solver.py:476-486`); because iterative refinement is a
+    linear map, one refined solve of the summed rhs is algebraically
+    identical at one fewer refined solve per iteration. Pinned here at f64
+    so the Pallas kernels' faster default is covered by golden parity."""
+    qp = _make_qp()
+    for backend in ("tridiag", "tridiag_aug"):
+        for refine in (0, 1):
+            rd = pdipm.solve(qp, pdipm.PdipmOptions(
+                backend=backend, refine_steps=refine,
+                corrector_form="delta"))
+            rc = pdipm.solve(qp, pdipm.PdipmOptions(
+                backend=backend, refine_steps=refine,
+                corrector_form="combined"))
+            np.testing.assert_allclose(
+                np.asarray(rc.x), np.asarray(rd.x), atol=2e-5)
