@@ -53,6 +53,11 @@ def main():
         "ricaug_comb_r1": pdipm.PdipmOptions(backend="ric_aug",
                                              refine_steps=1,
                                              corrector_form="combined"),
+        "ric_sumref_r1": pdipm.PdipmOptions(backend="ric", refine_steps=1,
+                                            corrector_form="sum_refine"),
+        "ricaug_sumref_r1": pdipm.PdipmOptions(backend="ric_aug",
+                                               refine_steps=1,
+                                               corrector_form="sum_refine"),
     }
     for name, opts in variants.items():
         res = pdipm_pallas.solve(qp, opts)

@@ -89,15 +89,21 @@ class PdipmOptions(NamedTuple):
     # arithmetic must avoid ~1-sized cancellations (see
     # `_gj_inverse_nopivot_inplace`) or the 1e8-scale condensed-W blocks
     # lose the inverse entirely.
-    corrector_form: str = "delta"  # "delta" (reference rule: solve the
-    # corrector increment with zero KKT-residual rhs, add to the refined
-    # affine direction) or "combined" (solve the full combined Mehrotra rhs
-    # once, refined; the affine solve runs UNREFINED and is used only for
-    # sigma and the ds*dz complementarity products). In exact arithmetic
-    # the two are identical — refinement is a linear map, so
-    # refine(r_aff) + refine(r_corr) == refine(r_aff + r_corr) — but
-    # "combined" does one fewer refined solve per iteration (3 vs 4 solves
-    # + 1 vs 2 operator applications at refine_steps=1).
+    corrector_form: str = "delta"  # All three are algebraically identical
+    # (refinement is a linear map), differing in solve count and f32
+    # rounding:
+    # * "delta": the reference rule — refined affine solve + refined
+    #   corrector-increment solve (zero KKT rhs), added. 4 solves + 2
+    #   operator applies per iteration at refine_steps=1.
+    # * "combined": one refined solve of the summed Mehrotra rhs; the
+    #   affine solve runs unrefined (feeds only sigma and ds*dz). 3 solves
+    #   + 1 apply — but REJECTED as default: the summed rhs mixes the
+    #   KKT-residual and complementarity scales in one f32 solve and the
+    #   stress tail degrades ~10x (BENCH.md).
+    # * "sum_refine": unrefined affine + unrefined corrector (both solves
+    #   stay scale-separated), then refine the SUMMED direction against
+    #   the full 4-row KKT residual — the refinement rhs is a small
+    #   correction, exactly where f32 is safe. Also 3 solves + 1 apply.
     k_pivot: bool = False  # Pallas "ric" kernel only: pivot search in the
     # lane-stacked [u, nu] stage inverses. The blocks are symmetric
     # quasi-definite (SPD R+beta+G^T W^-1 G leading block, then a negative
@@ -894,11 +900,14 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
     zeros_e = jnp.zeros_like(re)
 
     combined = opts.corrector_form == "combined"
+    sum_refine = opts.corrector_form == "sum_refine"
 
-    # Affine (predictor) direction. In "combined" form it only feeds sigma
-    # and the ds*dz products, so refinement on it is skipped.
+    # Affine (predictor) direction. In the "combined"/"sum_refine" forms
+    # per-solve refinement is skipped (the final direction is refined as a
+    # whole, or the solve only feeds sigma and the ds*dz products).
     dx_a, ds_a, dz_a, dy_a = reduced_solve(
-        -rx, -(s * z) / s, -rs, -re, refine=0 if combined else opts.refine_steps
+        -rx, -(s * z) / s, -rs, -re,
+        refine=0 if (combined or sum_refine) else opts.refine_steps,
     )
     alpha_ap = _frac_to_boundary(s, ds_a, opts)
     alpha_ad = _frac_to_boundary(z, dz_a, opts)
@@ -916,6 +925,27 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
         # affine rhs already has it (`sparse_pdipm_solver.py:476-486`), so
         # the sum is -(s*z + rc)/s, not the textbook -rc/s.
         dx, ds, dz, dy = reduced_solve(-rx, -(s * z + rc) / s, -rs, -re)
+    elif sum_refine:
+        dx_c, ds_c, dz_c, dy_c = reduced_solve(
+            zeros_z, -rc / s, zeros_i, zeros_e, refine=0
+        )
+        dx, ds, dz, dy = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c, dy_a + dy_c
+        # Refine the summed direction against the full 4-row KKT residual
+        # (rows: stationarity; Sigma ds + dz; G dx + ds - delta dz;
+        # A dx - delta dy). The correction rhs is small, so the mixed
+        # scales that sink the "combined" form never enter a large solve.
+        r1s, r2s = -rx, -(s * z + rc) / s
+        r3s, r4s = -rs, -re
+        for _ in range(opts.refine_steps):
+            m1 = (hd + opts.beta) * dx + qps.gT_matvec(qp, dz) \
+                + qps.aT_matvec(qp, dy)
+            m2 = sigma_d * ds + dz
+            m3 = qps.g_matvec(qp, dx) + ds - opts.delta * dz
+            m4 = qps.a_matvec(qp, dx) - opts.delta * dy
+            ex, es, ez, ey = reduced_solve(
+                r1s - m1, r2s - m2, r3s - m3, r4s - m4, refine=0
+            )
+            dx, ds, dz, dy = dx + ex, ds + es, dz + ez, dy + ey
     else:
         dx_c, ds_c, dz_c, dy_c = reduced_solve(
             zeros_z, -rc / s, zeros_i, zeros_e

@@ -1040,12 +1040,13 @@ def _pdipm_kernel(
                 return dx, ds, dz, dy
 
         combined = opts.corrector_form == "combined"
+        sum_refine = opts.corrector_form == "sum_refine"
 
-        # Affine (predictor) direction; with the "combined" corrector it
-        # only feeds sigma and the ds*dz products, so skip refinement there.
+        # Affine (predictor) direction; in the "combined"/"sum_refine"
+        # forms per-solve refinement is skipped (see PdipmOptions).
         dx_a, ds_a, dz_a, dy_a = reduced_solve(
             -rx, -(s * z) / s, -rs, -re,
-            refine=0 if combined else opts.refine_steps,
+            refine=0 if (combined or sum_refine) else opts.refine_steps,
         )
         a_p = frac_to_boundary(s, ds_a)
         a_d = frac_to_boundary(z, dz_a)
@@ -1063,6 +1064,31 @@ def _pdipm_kernel(
             # rhs keeps s*z (`sparse_pdipm_solver.py:476-486`), so the sum
             # is -(s*z + rc)/s, not the textbook -rc/s.
             dx, ds, dz, dy = reduced_solve(-rx, -(s * z + rc) / s, -rs, -re)
+        elif sum_refine:
+            zero_nz = jnp.zeros_like(rx)
+            zero_ni = jnp.zeros_like(s)
+            zero_ne = jnp.zeros_like(re)
+            dx_c, ds_c, dz_c, dy_c = reduced_solve(
+                zero_nz, -rc / s, zero_ni, zero_ne, refine=0
+            )
+            dx = dx_a + dx_c
+            ds = ds_a + ds_c
+            dz = dz_a + dz_c
+            dy = dy_a + dy_c
+            # Refine the summed direction against the full 4-row KKT
+            # residual; the correction rhs is small, so the mixed scales
+            # that sink the "combined" form never enter a large solve.
+            r1s = -rx
+            r2s = -(s * z + rc) / s
+            for _ in range(opts.refine_steps):
+                m1 = hd * dx + opts.beta * dx + gT_mv(dz) + aT_mv(dy)
+                m2 = sigma_d * ds + dz
+                m3 = g_mv(dx) + ds - opts.delta * dz
+                m4 = a_mv(dx) - opts.delta * dy
+                ex, es, ez, ey = reduced_solve(
+                    r1s - m1, r2s - m2, -rs - m3, -re - m4, refine=0
+                )
+                dx, ds, dz, dy = dx + ex, ds + es, dz + ez, dy + ey
         else:
             zero_nz = jnp.zeros_like(rx)
             zero_ni = jnp.zeros_like(s)

@@ -228,3 +228,24 @@ def test_combined_corrector_matches_delta_form():
                 corrector_form="combined"))
             np.testing.assert_allclose(
                 np.asarray(rc.x), np.asarray(rd.x), atol=2e-5)
+
+
+def test_sum_refine_corrector_matches_delta_form():
+    """corrector_form="sum_refine" equals the reference "delta" form at f64.
+
+    Unrefined affine + unrefined corrector, then refinement of the summed
+    direction against the full 4-row KKT residual — linear-algebraically
+    the same direction. (Rejected as the f32 default: the unrefined affine
+    predictor degrades sigma/centering on near-degenerate problems; see
+    BENCH.md.)"""
+    qp = _make_qp()
+    for backend in ("tridiag", "tridiag_aug"):
+        for refine in (0, 1):
+            rd = pdipm.solve(qp, pdipm.PdipmOptions(
+                backend=backend, refine_steps=refine,
+                corrector_form="delta"))
+            rc = pdipm.solve(qp, pdipm.PdipmOptions(
+                backend=backend, refine_steps=refine,
+                corrector_form="sum_refine"))
+            np.testing.assert_allclose(
+                np.asarray(rc.x), np.asarray(rd.x), atol=2e-5)
