@@ -65,6 +65,20 @@ class MPCConf:
     # saturates.
     f_max: float = 500.0
     solver_refine_steps: int = 1
+    # Adaptive iterations (opt-in, NOT strict reference parity): when > 0,
+    # run the solver in `adaptive_chunk`-step launches inside a
+    # `lax.while_loop` and stop early once EVERY env's residual criterion
+    # max(||rx||, ||rs||, ||re||, mu) is below this tolerance (or at the
+    # `newton_iterations` cap). Mirrors the reference's own outer loop over
+    # fused 5-iteration launches (`mpc_controller_cusadi.py:144-169`) with
+    # a data-dependent stop. 0 = fixed-iteration reference behavior.
+    # MEASURED CAVEAT (BENCH.md "Adaptive iterations"): under SPMD one stop
+    # decision gates the whole batch, and on realistic batches the worst
+    # env's stationarity residual stays O(10) N at the cap — the stop never
+    # fires and the chunked launches cost ~6%. Useful only for genuinely
+    # homogeneous well-conditioned workloads with a calibrated tol.
+    adaptive_tol: float = 0.0
+    adaptive_chunk: int = 5
     # Euler-rate convention; see `models/srbd.py` docstring. "rt_omega"
     # matches the shipped CUDA path, "r_omega" the CPU CasADi source.
     euler_rate_mode: Literal["rt_omega", "r_omega"] = "rt_omega"

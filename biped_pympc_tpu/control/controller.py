@@ -108,6 +108,7 @@ class BipedControllerCore:
         }.get(mpc_cfg.solver, mpc_cfg.solver)
         self.opts = PdipmOptions(
             iterations=mpc_cfg.newton_iterations,
+            iterations_per_launch=mpc_cfg.adaptive_chunk,
             beta=mpc_cfg.solver_beta,
             delta=mpc_cfg.solver_delta,
             backend=backend,
@@ -256,10 +257,20 @@ class BipedControllerCore:
             state.mu, state.f_max,
         )
 
+        adaptive = self.mpc_cfg.adaptive_tol > 0.0
         if self.mpc_cfg.solver.startswith("pallas"):
             from biped_pympc_tpu.ops import pdipm_pallas
 
-            sol = pdipm_pallas.solve(qp, self.opts)
+            if adaptive:
+                sol = pdipm_pallas.solve_adaptive(
+                    qp, self.opts, tol=self.mpc_cfg.adaptive_tol
+                )
+            else:
+                sol = pdipm_pallas.solve(qp, self.opts)
+        elif adaptive:
+            sol = pdipm.solve_adaptive_batch(
+                qp, self.opts, tol=self.mpc_cfg.adaptive_tol
+            )
         else:
             sol = jax.vmap(lambda q: pdipm.solve(q, self.opts))(qp)
 

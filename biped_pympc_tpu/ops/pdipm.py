@@ -63,6 +63,9 @@ class PdipmOptions(NamedTuple):
     """Solver constants, defaults per the reference (`sparse_pdipm_solver.py`)."""
 
     iterations: int = 20  # 4 outer x 5 fused (`mpc_controller_cusadi.py:28,144`)
+    iterations_per_launch: int = 5  # adaptive mode only: Newton steps per
+    # kernel launch inside `solve_adaptive`'s while_loop (the reference's
+    # fused-kernel granularity). Ignored by the fixed-iteration `solve`.
     beta: float = 1e-8  # primal regularization (`:419`)
     delta: float = 1e-8  # dual regularization (`:416`)
     frac_to_boundary: float = 0.99  # (`:461`)
@@ -989,3 +992,33 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         0, opts.iterations, body, (state, residuals0)
     )
     return PdipmResult(st.x, st.s, st.z, st.y, residuals)
+
+
+def solve_adaptive_batch(qp, opts: PdipmOptions = PdipmOptions(),
+                         tol: float = 1e-2) -> PdipmResult:
+    """Adaptive-iteration batched solve (pure-JAX counterpart of
+    `pdipm_pallas.solve_adaptive`).
+
+    qp: StageQP pytree with a LEADING batch axis. Runs vmapped
+    `opts.iterations_per_launch`-step chunks inside a `lax.while_loop`,
+    stopping when every env's residual criterion max(||rx||, ||rs||,
+    ||re||, mu) is below `tol` or at the `opts.iterations` cap. The
+    criterion is evaluated at the start of a Newton step (one iteration
+    stale, conservative). One stop decision gates the whole batch."""
+    chunk = opts.iterations_per_launch
+    n_chunks = max(1, -(-opts.iterations // chunk))
+    chunk_opts = opts._replace(iterations=chunk)
+    state0 = jax.vmap(init_state)(qp)
+
+    def cond(carry):
+        k, st, res = carry
+        return jnp.logical_and(k < n_chunks, jnp.max(res) > tol)
+
+    def body(carry):
+        k, st, _ = carry
+        r = jax.vmap(lambda q, s: solve(q, chunk_opts, s))(qp, st)
+        return k + 1, PdipmState(r.x, r.s, r.z, r.y), r.residuals
+
+    big = jnp.full((qp.f.shape[0], 4), jnp.inf, qp.f.dtype)
+    _, st, res = jax.lax.while_loop(cond, body, (0, state0, big))
+    return PdipmResult(x=st.x, s=st.s, z=st.z, y=st.y, residuals=res)

@@ -52,7 +52,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from biped_pympc_tpu.ops import qp as qps
-from biped_pympc_tpu.ops.pdipm import PdipmOptions, PdipmResult, _bcr_schedule
+from biped_pympc_tpu.ops.pdipm import (
+    PdipmOptions, PdipmResult, PdipmState, _bcr_schedule, init_state,
+)
 from biped_pympc_tpu.ops.qp import NU, NX, N_INEQ_PER_STAGE, N_MX_PER_STAGE, StageQP
 
 # Condensed stage block layout [u(12), nu(2), y(12)] = 26: the x_{t+1}
@@ -189,13 +191,18 @@ def _gj_inverse_nopivot_inplace(s_mat):
 def _pdipm_kernel(
     horizon: int,
     opts: PdipmOptions,
-    # refs: inputs
-    hd_ref, f_ref, ad_ref, bd_ref, b_ref, gu_ref, d_ref,
-    # refs: outputs
-    x_out, s_out, z_out, y_out, res_out,
-    # scratch
-    sinv_ref,
+    warm: bool,
+    # refs: inputs (7 QP refs; +4 state refs x0/s0/z0/y0 when warm)
+    # then outputs (x, s, z, y, res) and the scratch ref.
+    *refs,
 ):
+    if warm:
+        (hd_ref, f_ref, ad_ref, bd_ref, b_ref, gu_ref, d_ref,
+         x0_ref, s0_ref, z0_ref, y0_ref,
+         x_out, s_out, z_out, y_out, res_out, sinv_ref) = refs
+    else:
+        (hd_ref, f_ref, ad_ref, bd_ref, b_ref, gu_ref, d_ref,
+         x_out, s_out, z_out, y_out, res_out, sinv_ref) = refs
     T = horizon
     nz = 2 * NX * T
     ni = N_INEQ_PER_STAGE * T
@@ -1119,10 +1126,16 @@ def _pdipm_kernel(
         )  # (4, B)
         return x, s, z, y, res
 
-    x0v = jnp.zeros((nz, bt), dtype)
-    s0 = jnp.maximum(d, 1.0)
-    z0 = jnp.ones((ni, bt), dtype)
-    y0 = jnp.ones((ne, bt), dtype)
+    if warm:
+        x0v = x0_ref[...]
+        s0 = s0_ref[...]
+        z0 = z0_ref[...]
+        y0 = y0_ref[...]
+    else:
+        x0v = jnp.zeros((nz, bt), dtype)
+        s0 = jnp.maximum(d, 1.0)
+        z0 = jnp.ones((ni, bt), dtype)
+        y0 = jnp.ones((ne, bt), dtype)
     res0 = jnp.zeros((4, bt), dtype)
 
     x, s, z, y, res = jax.lax.fori_loop(
@@ -1160,12 +1173,16 @@ def _to_batch_last(qp: StageQP) -> _BatchedQP:
 
 
 def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
-          tile: int = 128) -> PdipmResult:
+          tile: int = 128, state=None) -> PdipmResult:
     """Batched PDIPM via the fused Pallas kernel.
 
     qp: StageQP pytree with a LEADING batch axis on every leaf (as produced
     by vmapping `build_qp`). Batch must be a multiple of `tile` (pad the
     batch upstream if needed). Returns batch-first PdipmResult.
+
+    state: optional batch-first `pdipm.PdipmState` to start the iteration
+    from (warm start / chunked continuation); None uses the reference cold
+    start x=0, s=max(d,1), z=1, y=1.
     """
     batch = qp.f.shape[0]
     horizon = qp.d.shape[1]
@@ -1174,13 +1191,12 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
             tile = max(8, 1 << (batch - 1).bit_length())  # small-batch tiles
         pad = (-batch) % tile
         if pad:
-            qp_pad = jax.tree.map(
-                lambda a: jnp.concatenate(
-                    [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
-                ),
-                qp,
+            padded = lambda a: jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
             )
-            res = solve(qp_pad, opts, tile)
+            qp_pad = jax.tree.map(padded, qp)
+            st_pad = None if state is None else jax.tree.map(padded, state)
+            res = solve(qp_pad, opts, tile, st_pad)
             return jax.tree.map(lambda a: a[:batch], res)
     nz = 2 * NX * horizon
     ni = N_INEQ_PER_STAGE * horizon
@@ -1196,7 +1212,8 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         idx = lambda i: (0,) * (len(shape) - 1) + (i,)
         return pl.BlockSpec(block, idx, memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_pdipm_kernel, horizon, opts)
+    warm = state is not None
+    kernel = functools.partial(_pdipm_kernel, horizon, opts, warm)
     out_shapes = [
         jax.ShapeDtypeStruct((nz, batch), dtype),
         jax.ShapeDtypeStruct((ni, batch), dtype),
@@ -1204,14 +1221,23 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         jax.ShapeDtypeStruct((ne, batch), dtype),
         jax.ShapeDtypeStruct((4, batch), dtype),
     ]
+    in_specs = [
+        spec((nz, batch)), spec((nz, batch)),
+        spec((NX, NX, batch)), spec((NX, NX, batch)),
+        spec((ne, batch)), spec((16, NU, batch)), spec((ni, batch)),
+    ]
+    inputs = [data.hd, data.f, data.ad, data.bd, data.b, data.gu, data.d]
+    if warm:
+        in_specs += [
+            spec((nz, batch)), spec((ni, batch)), spec((ni, batch)),
+            spec((ne, batch)),
+        ]
+        bl = lambda a: jnp.moveaxis(a, 0, -1)  # batch-first -> batch-last
+        inputs += [bl(state.x), bl(state.s), bl(state.z), bl(state.y)]
     x, s, z, y, res = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            spec((nz, batch)), spec((nz, batch)),
-            spec((NX, NX, batch)), spec((NX, NX, batch)),
-            spec((ne, batch)), spec((16, NU, batch)), spec((ni, batch)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             spec((nz, batch)), spec((ni, batch)), spec((ni, batch)),
             spec((ne, batch)), spec((4, batch)),
@@ -1232,8 +1258,52 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
+            # Batch tiles are fully independent. (Measured neutral — the
+            # 20-iteration kernel is compute-bound, inputs are tiny — but
+            # it is the semantically correct annotation.)
+            dimension_semantics=("parallel",),
         ),
-    )(data.hd, data.f, data.ad, data.bd, data.b, data.gu, data.d)
+    )(*inputs)
 
     t = lambda a: jnp.moveaxis(a, -1, 0)
     return PdipmResult(x=t(x), s=t(s), z=t(z), y=t(y), residuals=t(res))
+
+
+def solve_adaptive(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
+                   tol: float = 1e-2, tile: int = 128) -> PdipmResult:
+    """Adaptive-iteration PDIPM: chunked kernel launches with early stop.
+
+    Runs the fused kernel `opts.iterations_per_launch` Newton steps at a
+    time inside a `lax.while_loop`, stopping when EVERY env's residual
+    criterion max(||rx||, ||rs||, ||re||, mu) drops below `tol`, or after
+    the fixed `opts.iterations` cap. This mirrors the reference's own
+    architecture — a host loop over launches of a fused 5-iteration kernel
+    (`mpc_controller_cusadi.py:144-169`) — with a data-dependent stop, so
+    typical batches finish in fewer launches than the cap. NOT strict
+    fixed-iteration reference parity (opt-in via `MPCConf.adaptive_tol`).
+
+    The residual criterion is computed at the START of each Newton step,
+    so the check is one iteration stale (conservative). Batch semantics:
+    ONE stop decision for the whole (per-shard) batch — under jit the
+    batch is a single program, so the slowest env gates everyone.
+    """
+    chunk = opts.iterations_per_launch
+    n_chunks = max(1, -(-opts.iterations // chunk))
+    chunk_opts = opts._replace(iterations=chunk)
+    state0 = jax.vmap(init_state)(qp)
+
+    def crit(res):  # (B, 4) -> scalar worst-env criterion
+        return jnp.max(res)
+
+    def cond(carry):
+        k, st, res = carry
+        return jnp.logical_and(k < n_chunks, crit(res) > tol)
+
+    def body(carry):
+        k, st, _ = carry
+        r = solve(qp, chunk_opts, tile, state=st)
+        return k + 1, PdipmState(r.x, r.s, r.z, r.y), r.residuals
+
+    big = jnp.full((qp.f.shape[0], 4), jnp.inf, qp.f.dtype)
+    _, st, res = jax.lax.while_loop(cond, body, (0, state0, big))
+    return PdipmResult(x=st.x, s=st.s, z=st.z, y=st.y, residuals=res)

@@ -249,3 +249,20 @@ def test_sum_refine_corrector_matches_delta_form():
                 corrector_form="sum_refine"))
             np.testing.assert_allclose(
                 np.asarray(rc.x), np.asarray(rd.x), atol=2e-5)
+
+
+def test_solve_adaptive_batch_matches_fixed():
+    """Pure-JAX adaptive chunking: tol=0 == the fixed-iteration solve, and
+    the early stop triggers with a loose tolerance."""
+    qs = [_make_qp(seed=s, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="tridiag_aug")
+    fixed = jax.vmap(lambda q: pdipm.solve(q, opts).x)(batch)
+    chunked = pdipm.solve_adaptive_batch(batch, opts, tol=0.0)
+    np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(fixed),
+                               atol=1e-9)
+    one = jax.vmap(
+        lambda q: pdipm.solve(q, opts._replace(iterations=5)).x)(batch)
+    loose = pdipm.solve_adaptive_batch(batch, opts, tol=1e12)
+    np.testing.assert_allclose(np.asarray(loose.x), np.asarray(one),
+                               atol=1e-9)

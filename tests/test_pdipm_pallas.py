@@ -169,3 +169,42 @@ def test_pallas_kernel_aug_backend(interpret_pallas):
     np.testing.assert_allclose(
         np.asarray(res_k.z), np.asarray(ref.z), atol=1e-4
     )
+
+
+def test_pallas_warm_start_chunking_matches_fixed(interpret_pallas):
+    """Two warm-started 1-iteration launches == one 2-iteration launch.
+
+    Pins the kernel's optional state inputs (x0, s0, z0, y0): splitting
+    the fixed iteration loop across launches is the same arithmetic up to
+    compiler reassociation (the 1- and 2-iteration programs fuse
+    differently; measured drift ~1e-4 absolute on s ~ O(100))."""
+    qs = [_make_qp(seed=s, dtype=jnp.float32, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="ric", refine_steps=1, iterations=2)
+    fixed = pp.solve(batch, opts, tile=4)
+    o1 = opts._replace(iterations=1)
+    r1 = pp.solve(batch, o1, tile=4)
+    st = pdipm.PdipmState(r1.x, r1.s, r1.z, r1.y)
+    r2 = pp.solve(batch, o1, tile=4, state=st)
+    np.testing.assert_allclose(
+        np.asarray(r2.x), np.asarray(fixed.x), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(r2.s), np.asarray(fixed.s), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_solve_adaptive(interpret_pallas):
+    """solve_adaptive: tol=0 runs the full cap and equals fixed solve; a
+    huge tol stops after one launch (its stale residual criterion is inf
+    on entry, then the first chunk's residuals satisfy any large tol)."""
+    qs = [_make_qp(seed=s, dtype=jnp.float32, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="ric", refine_steps=1, iterations=2,
+                              iterations_per_launch=1)
+    fixed = pp.solve(batch, opts, tile=4)
+    ad = pp.solve_adaptive(batch, opts, tol=0.0, tile=4)
+    np.testing.assert_allclose(
+        np.asarray(ad.x), np.asarray(fixed.x), rtol=1e-3, atol=1e-3)
+    one = pp.solve(batch, opts._replace(iterations=1), tile=4)
+    ad_loose = pp.solve_adaptive(batch, opts, tol=1e12, tile=4)
+    np.testing.assert_allclose(
+        np.asarray(ad_loose.x), np.asarray(one.x), rtol=1e-3, atol=1e-3)
