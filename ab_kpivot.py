@@ -12,7 +12,7 @@ import time
 
 import numpy as np
 
-from bench_common import make_qp_batch
+from bench_common import make_chained, make_qp_batch
 
 
 def main():
@@ -24,16 +24,6 @@ def main():
 
     enable_compilation_cache()
 
-    def make_chained(solve_fn, chain):
-        @jax.jit
-        def chained(q):
-            def body(carry, _):
-                qq = q._replace(f=q.f + 1e-12 * carry)
-                res = solve_fn(qq)
-                return res.x, ()
-            out, _ = jax.lax.scan(body, jnp.zeros_like(q.f), None, length=chain)
-            return out[:, 0].sum()
-        return chained
 
     chain = 10
     reps = 6

@@ -53,3 +53,24 @@ def make_qp_batch(batch: int, horizon: int = 10):
     full = jax.tree.map(
         lambda a: jnp.tile(a, (rep,) + (1,) * (a.ndim - 1)), one)
     return jax.tree.map(lambda a: a[:batch], full)
+
+
+def make_chained(solve_fn, chain):
+    """Chained-scan device-timing harness shared by the ab_* benchmarks.
+
+    Chains `chain` dependent solves inside one jit (each step's x feeds a
+    1e-12 perturbation of the next problem's f) so the measured wall time
+    is real sequential device compute, not pipelined same-input dispatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(q):
+        def body(carry, _):
+            qq = q._replace(f=q.f + 1e-12 * carry)
+            res = solve_fn(qq)
+            return res.x, ()
+        out, _ = jax.lax.scan(body, jnp.zeros_like(q.f), None, length=chain)
+        return out[:, 0].sum()
+    return chained

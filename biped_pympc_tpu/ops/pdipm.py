@@ -1002,17 +1002,18 @@ def solve_adaptive_batch(qp, opts: PdipmOptions = PdipmOptions(),
     qp: StageQP pytree with a LEADING batch axis. Runs vmapped
     `opts.iterations_per_launch`-step chunks inside a `lax.while_loop`,
     stopping when every env's residual criterion max(||rx||, ||rs||,
-    ||re||, mu) is below `tol` or at the `opts.iterations` cap. The
+    ||re||, mu) is below `tol` or at EXACTLY the `opts.iterations` cap (a
+    non-divisible remainder runs as one final shorter chunk). The
     criterion is evaluated at the start of a Newton step (one iteration
     stale, conservative). One stop decision gates the whole batch."""
-    chunk = opts.iterations_per_launch
-    n_chunks = max(1, -(-opts.iterations // chunk))
+    chunk = min(opts.iterations_per_launch, opts.iterations)
+    n_full, rem = divmod(opts.iterations, chunk)
     chunk_opts = opts._replace(iterations=chunk)
     state0 = jax.vmap(init_state)(qp)
 
     def cond(carry):
         k, st, res = carry
-        return jnp.logical_and(k < n_chunks, jnp.max(res) > tol)
+        return jnp.logical_and(k < n_full, jnp.max(res) > tol)
 
     def body(carry):
         k, st, _ = carry
@@ -1021,4 +1022,16 @@ def solve_adaptive_batch(qp, opts: PdipmOptions = PdipmOptions(),
 
     big = jnp.full((qp.f.shape[0], 4), jnp.inf, qp.f.dtype)
     _, st, res = jax.lax.while_loop(cond, body, (0, state0, big))
+    if rem:
+        # Exact cap: one final rem-iteration chunk, skipped if converged.
+        def run_rem(args):
+            st, _ = args
+            r = jax.vmap(
+                lambda q, s: solve(q, opts._replace(iterations=rem), s)
+            )(qp, st)
+            return PdipmState(r.x, r.s, r.z, r.y), r.residuals
+
+        st, res = jax.lax.cond(
+            jnp.max(res) > tol, run_rem, lambda args: args, (st, res)
+        )
     return PdipmResult(x=st.x, s=st.s, z=st.z, y=st.y, residuals=res)

@@ -1186,24 +1186,47 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
     """
     batch = qp.f.shape[0]
     horizon = qp.d.shape[1]
-    if batch % tile != 0:
-        if batch < tile:
-            tile = max(8, 1 << (batch - 1).bit_length())  # small-batch tiles
-        pad = (-batch) % tile
-        if pad:
-            padded = lambda a: jnp.concatenate(
-                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0
-            )
-            qp_pad = jax.tree.map(padded, qp)
-            st_pad = None if state is None else jax.tree.map(padded, state)
-            res = solve(qp_pad, opts, tile, st_pad)
-            return jax.tree.map(lambda a: a[:batch], res)
+    tile, pad = _tile_and_pad(batch, tile)
+    if pad:
+        qp_pad = jax.tree.map(functools.partial(_pad_batch, pad), qp)
+        st_pad = None if state is None else jax.tree.map(
+            functools.partial(_pad_batch, pad), state
+        )
+        res = solve(qp_pad, opts, tile, st_pad)
+        return jax.tree.map(lambda a: a[:batch], res)
+
+    data = _to_batch_last(qp)
+    bl = lambda a: jnp.moveaxis(a, 0, -1)  # batch-first -> batch-last
+    state_bl = None if state is None else (
+        bl(state.x), bl(state.s), bl(state.z), bl(state.y)
+    )
+    x, s, z, y, res = _solve_bl(data, horizon, opts, tile, state_bl)
+    t = lambda a: jnp.moveaxis(a, -1, 0)
+    return PdipmResult(x=t(x), s=t(s), z=t(z), y=t(y), residuals=t(res))
+
+
+def _tile_and_pad(batch: int, tile: int):
+    """Static helper: shrink the tile for small batches, compute padding."""
+    if batch % tile != 0 and batch < tile:
+        tile = max(8, 1 << (batch - 1).bit_length())  # small-batch tiles
+    return tile, (-batch) % tile
+
+
+def _pad_batch(pad, a):
+    return jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+
+
+def _solve_bl(data: _BatchedQP, horizon: int, opts: PdipmOptions,
+              tile: int, state_bl):
+    """Core pallas_call on batch-LAST arrays; batch must divide by tile.
+
+    state_bl: None (reference cold start) or a (x, s, z, y) tuple of
+    batch-last arrays. Returns batch-last (x, s, z, y, residuals)."""
+    batch = data.f.shape[-1]
     nz = 2 * NX * horizon
     ni = N_INEQ_PER_STAGE * horizon
     ne = (NX + N_MX_PER_STAGE) * horizon
-    dtype = qp.f.dtype
-
-    data = _to_batch_last(qp)
+    dtype = data.f.dtype
     grid = (batch // tile,)
 
     def spec(shape):
@@ -1212,7 +1235,7 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         idx = lambda i: (0,) * (len(shape) - 1) + (i,)
         return pl.BlockSpec(block, idx, memory_space=pltpu.VMEM)
 
-    warm = state is not None
+    warm = state_bl is not None
     kernel = functools.partial(_pdipm_kernel, horizon, opts, warm)
     out_shapes = [
         jax.ShapeDtypeStruct((nz, batch), dtype),
@@ -1232,8 +1255,7 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
             spec((nz, batch)), spec((ni, batch)), spec((ni, batch)),
             spec((ne, batch)),
         ]
-        bl = lambda a: jnp.moveaxis(a, 0, -1)  # batch-first -> batch-last
-        inputs += [bl(state.x), bl(state.s), bl(state.z), bl(state.y)]
+        inputs += list(state_bl)
     x, s, z, y, res = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1264,9 +1286,7 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
             dimension_semantics=("parallel",),
         ),
     )(*inputs)
-
-    t = lambda a: jnp.moveaxis(a, -1, 0)
-    return PdipmResult(x=t(x), s=t(s), z=t(z), y=t(y), residuals=t(res))
+    return x, s, z, y, res
 
 
 def solve_adaptive(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
@@ -1275,8 +1295,9 @@ def solve_adaptive(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
 
     Runs the fused kernel `opts.iterations_per_launch` Newton steps at a
     time inside a `lax.while_loop`, stopping when EVERY env's residual
-    criterion max(||rx||, ||rs||, ||re||, mu) drops below `tol`, or after
-    the fixed `opts.iterations` cap. This mirrors the reference's own
+    criterion max(||rx||, ||rs||, ||re||, mu) drops below `tol`, or at
+    EXACTLY the fixed `opts.iterations` cap (a non-divisible remainder
+    runs as one final shorter launch). This mirrors the reference's own
     architecture — a host loop over launches of a fused 5-iteration kernel
     (`mpc_controller_cusadi.py:144-169`) — with a data-dependent stop, so
     typical batches finish in fewer launches than the cap. NOT strict
@@ -1287,23 +1308,51 @@ def solve_adaptive(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
     ONE stop decision for the whole (per-shard) batch — under jit the
     batch is a single program, so the slowest env gates everyone.
     """
-    chunk = opts.iterations_per_launch
-    n_chunks = max(1, -(-opts.iterations // chunk))
-    chunk_opts = opts._replace(iterations=chunk)
-    state0 = jax.vmap(init_state)(qp)
+    batch = qp.f.shape[0]
+    horizon = qp.d.shape[1]
+    tile, pad = _tile_and_pad(batch, tile)
+    if pad:
+        qp_pad = jax.tree.map(functools.partial(_pad_batch, pad), qp)
+        res = solve_adaptive(qp_pad, opts, tol, tile)
+        return jax.tree.map(lambda a: a[:batch], res)
 
-    def crit(res):  # (B, 4) -> scalar worst-env criterion
-        return jnp.max(res)
+    chunk = min(opts.iterations_per_launch, opts.iterations)
+    n_full, rem = divmod(opts.iterations, chunk)
+    chunk_opts = opts._replace(iterations=chunk)
+
+    # Stay batch-LAST across launches: transpose the QP once, carry the
+    # state as kernel-layout arrays, transpose the result once at the end.
+    data = _to_batch_last(qp)
+    state0 = (
+        0.0 * data.f,                                   # x = 0
+        jnp.maximum(data.d, 1.0),                       # s = max(d, 1)
+        0.0 * data.d + 1.0,                             # z = 1
+        0.0 * data.b + 1.0,                             # y = 1
+    )
 
     def cond(carry):
         k, st, res = carry
-        return jnp.logical_and(k < n_chunks, crit(res) > tol)
+        return jnp.logical_and(k < n_full, jnp.max(res) > tol)
 
     def body(carry):
         k, st, _ = carry
-        r = solve(qp, chunk_opts, tile, state=st)
-        return k + 1, PdipmState(r.x, r.s, r.z, r.y), r.residuals
+        x, s, z, y, res = _solve_bl(data, horizon, chunk_opts, tile, st)
+        return k + 1, (x, s, z, y), res
 
-    big = jnp.full((qp.f.shape[0], 4), jnp.inf, qp.f.dtype)
+    big = jnp.full((4, batch), jnp.inf, qp.f.dtype)
     _, st, res = jax.lax.while_loop(cond, body, (0, state0, big))
-    return PdipmResult(x=st.x, s=st.s, z=st.z, y=st.y, residuals=res)
+    if rem:
+        # Exact cap: one final rem-iteration launch, skipped if converged.
+        def run_rem(args):
+            st, _ = args
+            x, s, z, y, res = _solve_bl(
+                data, horizon, opts._replace(iterations=rem), tile, st
+            )
+            return (x, s, z, y), res
+
+        st, res = jax.lax.cond(
+            jnp.max(res) > tol, run_rem, lambda args: args, (st, res)
+        )
+    t = lambda a: jnp.moveaxis(a, -1, 0)
+    return PdipmResult(x=t(st[0]), s=t(st[1]), z=t(st[2]), y=t(st[3]),
+                       residuals=t(res))

@@ -266,3 +266,10 @@ def test_solve_adaptive_batch_matches_fixed():
     loose = pdipm.solve_adaptive_batch(batch, opts, tol=1e12)
     np.testing.assert_allclose(np.asarray(loose.x), np.asarray(one),
                                atol=1e-9)
+    # Non-divisible cap runs EXACTLY iterations steps (12 = 2x5 + rem 2),
+    # never a rounded-up 15 (the f32 kernels rely on the cap; BENCH.md).
+    o12 = opts._replace(iterations=12, iterations_per_launch=5)
+    fixed12 = jax.vmap(lambda q: pdipm.solve(q, o12).x)(batch)
+    chunked12 = pdipm.solve_adaptive_batch(batch, o12, tol=0.0)
+    np.testing.assert_allclose(np.asarray(chunked12.x), np.asarray(fixed12),
+                               atol=1e-9)

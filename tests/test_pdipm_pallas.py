@@ -208,3 +208,9 @@ def test_pallas_solve_adaptive(interpret_pallas):
     ad_loose = pp.solve_adaptive(batch, opts, tol=1e12, tile=4)
     np.testing.assert_allclose(
         np.asarray(ad_loose.x), np.asarray(one.x), rtol=1e-3, atol=1e-3)
+    # Non-divisible cap: 3 = 2x1 + rem 1 runs exactly 3 iterations.
+    o3 = opts._replace(iterations=3, iterations_per_launch=2)
+    fixed3 = pp.solve(batch, o3, tile=4)
+    ad3 = pp.solve_adaptive(batch, o3, tol=0.0, tile=4)
+    np.testing.assert_allclose(
+        np.asarray(ad3.x), np.asarray(fixed3.x), rtol=1e-3, atol=1e-3)
