@@ -79,6 +79,9 @@ class PdipmOptions(NamedTuple):
     # this value. Bounds the reduced-KKT condition number for the f32 TPU
     # path; active constraints are then enforced to ~1/sigma_cap relative
     # feasibility (proximal smoothing). 0 disables (exact reference rule).
+    # MEASURED: unusable on the MPC workload — the force caps/friction
+    # rows are strongly active and capping their scaling costs 70-335 N
+    # GRF error even at cap=1e6 (BENCH.md). Kept for diagnostics only.
     inv_impl: str = "gj"  # "gj" (batched Gauss-Jordan, TPU-fast) or
     # "lapack" (jnp.linalg.inv — XLA's sequential LU, orders of magnitude
     # slower on TPU for tiny matrices; kept as a cross-check)
@@ -107,6 +110,12 @@ class PdipmOptions(NamedTuple):
     #   stay scale-separated), then refine the SUMMED direction against
     #   the full 4-row KKT residual — the refinement rhs is a small
     #   correction, exactly where f32 is safe. Also 3 solves + 1 apply.
+    aug_pivot: bool = True  # Pallas "ric_aug" kernel: per-lane pivot search
+    # in the 30-wide [u, z, nu] stage inverses. MEASURED REQUIRED: unlike
+    # the condensed K block (whose R+beta+G^T W^-1 G pivot is O(W)-strong),
+    # the augmented u pivot is only R+beta ~ 1e-6 against O(1) couplings —
+    # natural-order elimination overflows to NaN on every stress problem
+    # (3x faster, useless; BENCH.md). False kept for diagnostics only.
     k_pivot: bool = False  # Pallas "ric" kernel only: pivot search in the
     # lane-stacked [u, nu] stage inverses. The blocks are symmetric
     # quasi-definite (SPD R+beta+G^T W^-1 G leading block, then a negative

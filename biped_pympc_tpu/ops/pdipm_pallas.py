@@ -773,7 +773,13 @@ def _pdipm_kernel(
             row_nu = jnp.concatenate(
                 [e_sel, zf(N_MX_PER_STAGE, N_INEQ_PER_STAGE), z_nu2], axis=1)
             ks.append(jnp.concatenate([row_u, row_z, row_nu], axis=0))
-        k_inv_st = _gj_inverse(jnp.concatenate(ks, axis=-1))  # (30,30,T*bt)
+        # The 30-wide block is symmetric quasi-definite (SPD R+beta leading
+        # block, negative definite -W / -delta trailing blocks): natural-
+        # order elimination is admissible, and the u-block Schur update
+        # keeps the z pivots O(1) even where W_ii ~ 1e-8 (opts.aug_pivot
+        # retains the searched form).
+        aug_gj = _gj_inverse if opts.aug_pivot else gj_nopivot
+        k_inv_st = aug_gj(jnp.concatenate(ks, axis=-1))  # (30,30,T*bt)
 
         kuu_st = k_inv_st[:NU, :NU, :]
         bd_st = jnp.concatenate([bd] * T, axis=-1)
@@ -980,6 +986,8 @@ def _pdipm_kernel(
         mu = jnp.sum(s * z, axis=0) / ni  # (B,)
 
         sigma_d = z / s + opts.delta
+        if opts.sigma_cap > 0.0:
+            sigma_d = jnp.minimum(sigma_d, opts.sigma_cap)
         w_inv = sigma_d / (1.0 + opts.delta * sigma_d)
 
         if use_bcr or use_ric or use_ric2:
