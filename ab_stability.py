@@ -3,7 +3,9 @@
 The f32 pallas_ric kernel drives the full walking loop (100 Hz MPC, 1 kHz
 control + SRBD plant) for 30,000 ticks in 30 x 1 s dispatches; reports the
 fraction of envs upright (height within 0.15 m of command, |rp| < 0.5 rad)
-and tracking stats at the end.
+and tracking stats along the way. Commands are domain-randomized per env
+(vx in [-0.3, 0.5], vy in [-0.15, 0.15], wz in [-0.3, 0.3], random gait
+phases) — the RL-training batch shape.
 """
 import json, sys
 import numpy as np
@@ -16,10 +18,28 @@ from biped_pympc_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 batch = 256
-core = BipedControllerCore(ControllerConf(), MPCConf(solver="pallas_ric"), gait_id=2)
+import sys as _sys
+frame = "yaw" if "--yaw" in _sys.argv else "world"
+core = BipedControllerCore(ControllerConf(),
+                           MPCConf(solver="pallas_ric", contact_frame=frame),
+                           gait_id=2)
+print(json.dumps({"contact_frame": frame}), flush=True)
 rollout, cycles = make_rollout(core, 1.0)
 rollout = jax.jit(rollout)
 carry = init_carry(core, batch, 0.3, 0.55)
+# Domain-randomize: per-env twist command and gait phase.
+rng = np.random.default_rng(0)
+state, x, foot_w = carry
+twist = np.zeros((batch, 3), np.float32)
+twist[:, 0] = rng.uniform(-0.3, 0.5, batch)
+twist[:, 1] = rng.uniform(-0.15, 0.15, batch)
+twist[:, 2] = rng.uniform(-0.3, 0.3, batch)
+state = core.set_command(state, jnp.asarray(twist),
+                         jnp.full((batch,), 0.55, jnp.float32))
+state = state._replace(
+    gait_phase=jnp.asarray(rng.uniform(0, 1, batch).astype(np.float32)))
+carry = (state, x, foot_w)
+cmd_vx = twist[:, 0]
 for sec in range(30):
     carry, traj = rollout(carry)
     if sec in (0, 4, 9, 19, 29):
@@ -27,9 +47,11 @@ for sec in range(30):
         h = x[:, 5]; rp = np.abs(x[:, 0:2]).max(axis=1)
         vx = x[:, 9]
         upright = (np.abs(h - 0.55) < 0.15) & (rp < 0.5) & np.isfinite(x).all(axis=1)
+        vx_err = np.abs(vx - cmd_vx)
         print(json.dumps({"sim_s": sec+1,
             "upright_frac": round(float(upright.mean()), 4),
             "height_p50": round(float(np.median(h)), 4),
             "height_p5": round(float(np.percentile(h, 5)), 4),
-            "vx_p50": round(float(np.median(vx)), 3),
+            "vx_err_p50": round(float(np.median(vx_err)), 3),
+            "vx_err_p95": round(float(np.percentile(vx_err, 95)), 3),
             "nan_envs": int((~np.isfinite(x).all(axis=1)).sum())}), flush=True)

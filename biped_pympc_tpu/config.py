@@ -82,6 +82,17 @@ class MPCConf:
     # Euler-rate convention; see `models/srbd.py` docstring. "rt_omega"
     # matches the shipped CUDA path, "r_omega" the CPU CasADi source.
     euler_rate_mode: Literal["rt_omega", "r_omega"] = "rt_omega"
+    # Contact-constraint frame. "world" = reference parity: the QP's Mx=0
+    # equality and toe/heel line-contact rows are fixed world-axis-aligned
+    # (`srbd_constraints.py:144-227`), valid only near yaw = 0 (mod pi) —
+    # at yaw ~ pi/2 the QP forbids the ankle pitch moment entirely and the
+    # robot falls (measured: every env with |wz| >~ 0.1 rad/s dies once yaw
+    # passes ~1.2 rad). "yaw" expresses u in yaw-aligned axes (constraint
+    # rows stay constant; Bd columns rotate at assembly, the solution
+    # rotates back at postprocess) and wraps the yaw tracking error — the
+    # omnidirectional mode the reference lacks; turning works at any
+    # heading. See `tests/test_controller.py::test_yaw_rotational_invariance`.
+    contact_frame: Literal["world", "yaw"] = "world"
     print_solve_time: bool = False
 
     def __post_init__(self):

@@ -244,6 +244,7 @@ class BipedControllerCore:
             euler_rate_mode=self.mpc_cfg.euler_rate_mode,
             q_weights=jnp.asarray(self.mpc_cfg.Q, dtype=self.dtype),
             r_weights=jnp.asarray(self.mpc_cfg.R, dtype=self.dtype),
+            contact_frame=self.mpc_cfg.contact_frame,
         )
         new_mem, x_ref, qp = jax.vmap(
             lambda mem, est, des, ct, dtm, rl, ra, mu, fmax: build(
@@ -276,7 +277,8 @@ class BipedControllerCore:
 
         out = jax.vmap(
             lambda q, s, rot, xr: mpc.postprocess_solution(
-                q, s, rot, xr, self.mpc_cfg.horizon_length
+                q, s, rot, xr, self.mpc_cfg.horizon_length,
+                contact_frame=self.mpc_cfg.contact_frame,
             )
         )(qp, sol, state.est.rotation_body, x_ref)
 

@@ -74,6 +74,7 @@ def reference_trajectory(
     dt_mpc: jnp.ndarray,
     horizon: int,
     decimation_dt: float,
+    yaw_wrap: bool = False,
 ):
     """Open-loop reference integration (`base_controller.py:166-257`).
 
@@ -96,6 +97,17 @@ def reference_trajectory(
     wpd = wpd.at[1].add(decimation_dt * des.velocity_b[1])
     wpd = wpd.at[2].set(des.height)
     yaw_des = yaw_des + decimation_dt * des.ang_velocity_b[2]
+
+    if yaw_wrap:
+        # Omnidirectional mode: the measured yaw (atan2 of the quaternion)
+        # wraps to (-pi, pi] while this open-loop integrator is unbounded —
+        # at the wrap the raw yaw error jumps by 2*pi and the QP commands a
+        # violent spin (measured: NaN blow-ups the moment yaw crosses pi).
+        # Store the integrator wrapped and reference yaw RELATIVE to the
+        # measured yaw so the tracking error is always the short way around.
+        two_pi = 2.0 * jnp.pi
+        wrap = lambda a: a - two_pi * jnp.round(a / two_pi)
+        yaw_des = est.root_euler[2] + wrap(yaw_des - est.root_euler[2])
 
     stationary = jnp.abs(des.velocity_b[0]) < 1e-2
     t = dt_mpc * jnp.arange(horizon, dtype=dtype)
@@ -135,11 +147,23 @@ def build_mpc_qp(
     euler_rate_mode: str = "rt_omega",
     f_max=qps.F_MAX,
     mu=None,
+    contact_frame: str = "world",
 ):
     """Per-env QP assembly half of the MPC step (vmapped by the caller).
 
     f_max and mu may be Python floats or per-env traced scalars (DRL /
     domain-randomization knobs); mu=None uses the robot's default.
+
+    contact_frame: "world" (reference parity) keeps the contact constraint
+    rows in fixed world axes — the reference's Mx=0 equality and toe/heel
+    line-contact rows assume the foot line is world-x-aligned, which is
+    only true for yaw ~ 0 (mod pi); at yaw ~ pi/2 the QP forbids exactly
+    the pitch moment that provides toe-heel authority and the robot falls
+    (measured). "yaw" expresses u in YAW-ALIGNED axes instead — the
+    constraint ROWS stay constant (so the fused kernels are untouched)
+    while Bd's input columns rotate by R_z(yaw) at assembly and the
+    solution rotates back in postprocess; turning then works at any
+    heading. Also enables yaw-error wrapping in the reference trajectory.
 
     Split out from the solve so the batched Pallas kernel can run on the
     whole batch at once between the vmapped build and postprocess phases.
@@ -147,7 +171,8 @@ def build_mpc_qp(
     """
     dtype = est.root_position.dtype
     new_mem, x_ref = reference_trajectory(
-        mem, est, des, dt_mpc, horizon, decimation_dt
+        mem, est, des, dt_mpc, horizon, decimation_dt,
+        yaw_wrap=contact_frame == "yaw",
     )
 
     rot = est.rotation_body
@@ -171,7 +196,30 @@ def build_mpc_qp(
         mu_v, q_weights, r_weights, horizon,
         euler_rate_mode, f_max,
     )
+    if contact_frame == "yaw":
+        # u in yaw-aligned axes: rotate Bd's input columns by R_z(yaw)
+        # block-per-3-vector ([F_L, F_R, M_L, M_R]). The horizon shares one
+        # yaw (same approximation as the reference's horizon-constant
+        # rotation/inertia, `base_controller.py:178-199`).
+        rz = _rot_z(est.root_euler[2])
+        b_yaw = _rotate_u_columns(qp.dyn.B, rz)
+        qp = qp._replace(dyn=qp.dyn._replace(B=b_yaw))
     return new_mem, x_ref, qp
+
+
+def _rot_z(yaw):
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    z = jnp.zeros_like(c)
+    o = jnp.ones_like(c)
+    return jnp.stack([
+        jnp.stack([c, -s, z]), jnp.stack([s, c, z]), jnp.stack([z, z, o]),
+    ])
+
+
+def _rotate_u_columns(b_mat: jnp.ndarray, rz: jnp.ndarray) -> jnp.ndarray:
+    """B @ blockdiag(rz, rz, rz, rz) without materializing the 12x12."""
+    cols = b_mat.reshape(12, 4, 3)
+    return jnp.einsum("rbj,ij->rbi", cols, rz.T).reshape(12, 12)
 
 
 def postprocess_solution(
@@ -180,15 +228,30 @@ def postprocess_solution(
     rot: jnp.ndarray,
     x_ref: jnp.ndarray,
     horizon: int,
+    contact_frame: str = "world",
 ) -> MpcOutput:
     """Extract u_0 and transform the wrench (`mpc_controller_cusadi.py:184-203`).
 
-    Per-env (vmapped by the caller).
+    Per-env (vmapped by the caller). With contact_frame="yaw" the raw
+    solution's u is in yaw-aligned axes (see `build_mpc_qp`) and is rotated
+    back to world here, so every MpcOutput field keeps world semantics.
     """
     nx = qps.NX
     u0 = sol.x[nx * horizon: nx * horizon + qps.NU]
-    grf = u0.reshape(4, 3)  # [F_L, F_R, M_L, M_R] world frame
-    grm = grf[2:].at[:, 0].set(0.0)  # zero Mx (unactuated)
+    if contact_frame == "yaw":
+        # The unactuated ankle-roll axis is the YAW-frame x: zero it there
+        # (it is the Mx=0 equality axis, so this is a numerical cleanup),
+        # then rotate back to world. The reference's world-axis Mx zeroing
+        # would instead discard a real component of My at yaw != 0.
+        yaw = jnp.arctan2(rot[1, 0], rot[0, 0])
+        rz = _rot_z(yaw)
+        u0r = u0.reshape(4, 3).at[2:, 0].set(0.0)
+        u0 = jnp.einsum("ij,bj->bi", rz, u0r).reshape(12)
+        grf = u0.reshape(4, 3)  # [F_L, F_R, M_L, M_R] world frame
+        grm = grf[2:]
+    else:
+        grf = u0.reshape(4, 3)  # [F_L, F_R, M_L, M_R] world frame
+        grm = grf[2:].at[:, 0].set(0.0)  # zero Mx (unactuated)
     f_body = (rot.T @ grf[:2].T).T
     m_body = (rot.T @ grm.T).T
     wrench = jnp.stack(
