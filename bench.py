@@ -55,7 +55,7 @@ def main():
     # the f32-robust accuracy mode (see BENCH.md). Falls back to the
     # pure-JAX path if the Mosaic compile is unavailable on this runtime.
     solver = "pallas_ric"
-    mpc_cfg = MPCConf(solver=solver)
+    mpc_cfg = MPCConf(solver=solver, verbose=False)
     core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
     state = core.init_state(batch)
 
@@ -105,7 +105,7 @@ def main():
     except Exception as e:  # pragma: no cover - runtime-specific
         print(f"# pallas path failed ({type(e).__name__}); falling back "
               "to the pure-JAX solver", file=sys.stderr)
-        mpc_cfg = MPCConf(solver="tridiag_aug")
+        mpc_cfg = MPCConf(solver="tridiag_aug", verbose=False)
         core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
         state = core.init_state(batch)
         state = core.set_command(

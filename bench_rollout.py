@@ -42,7 +42,7 @@ def main():
 
     for batch in [int(b) for b in args.batches.split(",")]:
         core = BipedControllerCore(
-            cfg, MPCConf(solver=args.solver), gait_id=2
+            cfg, MPCConf(solver=args.solver, verbose=False), gait_id=2
         )
         rollout, cycles = make_rollout(core, args.seconds)
         carry = init_carry(core, batch, 0.3, 0.55)

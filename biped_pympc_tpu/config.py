@@ -50,8 +50,15 @@ class MPCConf:
     solver: Literal[
         "tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
         "pallas", "pallas_aug", "pallas_bcr", "pallas_ric", "pallas_ric2",
-        "pallas_ric_aug",
+        "pallas_ric_aug", "pallas_hybrid",
     ] = "ric_aug"
+    # "pallas_hybrid" knobs: the fast condensed kernel runs on every env,
+    # then at most `hybrid_budget` envs whose final residual criterion
+    # max(||rx||, ||rs||, ||re||, mu) exceeds `hybrid_flag_tol` are
+    # re-solved with the robust augmented kernel (worst-first). Calibration
+    # measured in BENCH.md "hybrid flag".
+    hybrid_budget: int = 128
+    hybrid_flag_tol: float = 1.0
     robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
     # `mpc_controller_cusadi.py:28,144`).
@@ -94,9 +101,25 @@ class MPCConf:
     # heading. See `tests/test_controller.py::test_yaw_rotational_invariance`.
     contact_frame: Literal["world", "yaw"] = "world"
     print_solve_time: bool = False
+    # Init-time config dump, parity with `configuration.py:59-70` (the
+    # reference prints unconditionally at dataclass creation). Set False to
+    # silence (e.g. when constructing many configs programmatically).
+    verbose: bool = True
 
     def __post_init__(self):
         if len(self.Q) == 13:  # tolerate the reference's 13-entry default
             object.__setattr__(self, "Q", tuple(self.Q[:12]))
         assert len(self.Q) == 12, f"Q must have 12 weights, got {len(self.Q)}"
         assert len(self.R) == 12, f"R must have 12 weights, got {len(self.R)}"
+        if self.verbose:
+            print("[INFO] MPC Configuration:")
+            print("+--------------------------------+")
+            print(f"  dt: {self.dt}")
+            print(f"  dt_mpc: {self.dt_mpc}")
+            print(f"  horizon_length: {self.horizon_length}")
+            print(f"  decimation: {self.decimation}")
+            print(f"  Q: {self.Q}")
+            print(f"  R: {self.R}")
+            print(f"  solver: {self.solver}")
+            print(f"  robot: {self.robot}")
+            print("+--------------------------------+")

@@ -95,7 +95,7 @@ class BipedControllerCore:
         #                    horizons; slower at T=10)
         known = ("tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
                  "pallas", "pallas_aug", "pallas_bcr", "pallas_ric",
-                 "pallas_ric2", "pallas_ric_aug")
+                 "pallas_ric2", "pallas_ric_aug", "pallas_hybrid")
         if mpc_cfg.solver not in known:
             raise ValueError(
                 f"unknown MPCConf.solver {mpc_cfg.solver!r}; expected one of "
@@ -105,6 +105,9 @@ class BipedControllerCore:
             "pallas": "tridiag", "pallas_aug": "tridiag_aug",
             "pallas_bcr": "bcr", "pallas_ric": "ric",
             "pallas_ric2": "ric2", "pallas_ric_aug": "ric_aug",
+            # hybrid: fast condensed pass everywhere + budgeted augmented
+            # re-solve of residual-flagged envs (pdipm_pallas.solve_hybrid)
+            "pallas_hybrid": "ric",
         }.get(mpc_cfg.solver, mpc_cfg.solver)
         self.opts = PdipmOptions(
             iterations=mpc_cfg.newton_iterations,
@@ -223,14 +226,12 @@ class BipedControllerCore:
             contact_phase=contact_phase, swing_phase=swing_phase,
         )
 
-    @functools.partial(jax.jit, static_argnums=0)
-    def run_mpc(self, state: ControllerState):
-        """MPC solve at the decimated rate (`biped_controller.py:116-147`).
+    def assemble_mpc(self, state: ControllerState):
+        """Vmapped per-env QP assembly phase of `run_mpc`.
 
-        Three phases: vmapped per-env QP assembly, one batched PDIPM solve
-        (pure-JAX vmap or the fused Pallas kernel, per `MPCConf.solver`),
-        vmapped postprocess. Returns (state, MpcOutput batched); the wrench
-        becomes the leg command's feed-forward term.
+        Returns (new_mem, x_ref, qp) with a leading batch axis on every
+        leaf. Public so measurement harnesses (accuracy A/B, hybrid-flag
+        calibration) can extract the exact production QP batch.
         """
         contact_table = jax.vmap(
             lambda p, g: gait.mpc_contact_table(p, g, self.mpc_cfg.horizon_length)
@@ -246,7 +247,7 @@ class BipedControllerCore:
             r_weights=jnp.asarray(self.mpc_cfg.R, dtype=self.dtype),
             contact_frame=self.mpc_cfg.contact_frame,
         )
-        new_mem, x_ref, qp = jax.vmap(
+        return jax.vmap(
             lambda mem, est, des, ct, dtm, rl, ra, mu, fmax: build(
                 mem, est, des, ct, dtm,
                 residual_lin_accel=rl, residual_ang_accel=ra,
@@ -258,11 +259,28 @@ class BipedControllerCore:
             state.mu, state.f_max,
         )
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def run_mpc(self, state: ControllerState):
+        """MPC solve at the decimated rate (`biped_controller.py:116-147`).
+
+        Three phases: vmapped per-env QP assembly, one batched PDIPM solve
+        (pure-JAX vmap or the fused Pallas kernel, per `MPCConf.solver`),
+        vmapped postprocess. Returns (state, MpcOutput batched); the wrench
+        becomes the leg command's feed-forward term.
+        """
+        new_mem, x_ref, qp = self.assemble_mpc(state)
+
         adaptive = self.mpc_cfg.adaptive_tol > 0.0
         if self.mpc_cfg.solver.startswith("pallas"):
             from biped_pympc_tpu.ops import pdipm_pallas
 
-            if adaptive:
+            if self.mpc_cfg.solver == "pallas_hybrid":
+                sol = pdipm_pallas.solve_hybrid(
+                    qp, self.opts,
+                    budget=self.mpc_cfg.hybrid_budget,
+                    flag_tol=self.mpc_cfg.hybrid_flag_tol,
+                )
+            elif adaptive:
                 sol = pdipm_pallas.solve_adaptive(
                     qp, self.opts, tol=self.mpc_cfg.adaptive_tol
                 )

@@ -78,9 +78,7 @@ def gauss_jordan_inverse(a: jnp.ndarray) -> jnp.ndarray:
         )
 
         # --- normalize pivot row, eliminate every other row ---
-        pivot = jnp.sum(jnp.where(is_k, row_p[..., :n], 0.0), axis=-1)
-        # pivot = aug[..., k, k] after the swap; computed from row_p's col k
-        # via the same masked reduction to stay gather-free.
+        # pivot = aug[..., k, k] after the swap (= row_p's entry k).
         pivot = jax.lax.dynamic_index_in_dim(row_p, k, axis=-1, keepdims=False)
         pivot_row = row_p / pivot[..., None]  # (..., 2n)
         aug = jnp.where(is_k[:, None], pivot_row[..., None, :], aug)

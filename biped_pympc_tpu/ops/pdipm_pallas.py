@@ -1297,6 +1297,50 @@ def _solve_bl(data: _BatchedQP, horizon: int, opts: PdipmOptions,
     return x, s, z, y, res
 
 
+def solve_hybrid(
+    qp: StageQP,
+    opts: PdipmOptions = PdipmOptions(),
+    budget: int = 128,
+    flag_tol: float = 1.0,
+    tile: int = 128,
+    aug_opts: PdipmOptions | None = None,
+) -> PdipmResult:
+    """Fast condensed solve everywhere + robust re-solve of flagged envs.
+
+    The f32 condensed kernels ("ric"/"ric2") carry a GRF error tail on
+    near-degenerate contact-switch QPs (the G^T W^-1 G condensation loses
+    the small scales at assembly — BENCH.md "f32 accuracy"); the augmented
+    kernel ("ric_aug") is robust but ~3x the cost. This runs the fast path
+    on the whole batch, flags envs whose final KKT residual criterion
+    max(||rx||, ||rs||, ||re||, mu) exceeds `flag_tol` (measured to
+    correlate with the error tail — see BENCH.md "hybrid flag"), and
+    re-solves AT MOST `budget` flagged envs (the worst by criterion) with
+    the augmented kernel from the reference cold start. Costs one fast
+    full-batch solve + one budget-sized robust solve: ~1.2x the fast path
+    at batch 4096 instead of 3x for augmented-everywhere.
+
+    Role reference: the accuracy class of the f64 augmented factorization
+    (`sparse_pdipm_solver.py:404-439`) at condensed-kernel speed.
+    """
+    batch = qp.f.shape[0]
+    res = solve(qp, opts, tile)
+    crit = jnp.max(res.residuals, axis=1)  # (B,)
+    k = min(budget, batch)
+    vals, idx = jax.lax.top_k(crit, k)
+    qp_bad = jax.tree.map(lambda a: a[idx], qp)
+    aug = aug_opts if aug_opts is not None else opts._replace(
+        backend="ric_aug", aug_pivot=True
+    )
+    res_aug = solve(qp_bad, aug, tile)
+    need = vals > flag_tol  # (k,)
+
+    def merge(a, b):
+        sel = need.reshape((k,) + (1,) * (b.ndim - 1))
+        return a.at[idx].set(jnp.where(sel, b, a[idx]))
+
+    return jax.tree.map(merge, res, res_aug)
+
+
 def solve_adaptive(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
                    tol: float = 1e-2, tile: int = 128) -> PdipmResult:
     """Adaptive-iteration PDIPM: chunked kernel launches with early stop.

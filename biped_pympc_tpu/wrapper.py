@@ -141,6 +141,28 @@ class MPCController:
         return self.state.leg_cmd.wrench_ff
 
     @property
+    def grf_world(self) -> jnp.ndarray:
+        """(B, 12) raw world-frame QP input u0 = [F_L, F_R, M_L, M_R] from the
+        most recent `run_mpc` (the quantity the reference reads at
+        `mpc_controller_cusadi.py:186` before its body-frame transform).
+        Zeros until the first `run_mpc` call."""
+        if self._last_mpc is None:
+            return jnp.zeros(
+                (self.num_envs, 12), self.state.gait_phase.dtype
+            )
+        return self._last_mpc.grf_world
+
+    @property
+    def solver_residuals(self) -> jnp.ndarray:
+        """(B, 4) final PDIPM residual norms [||rx||, ||rs||, ||re||, mu]
+        from the most recent `run_mpc`; +inf until the first call."""
+        if self._last_mpc is None:
+            return jnp.full(
+                (self.num_envs, 4), jnp.inf, self.state.gait_phase.dtype
+            )
+        return self._last_mpc.residuals
+
+    @property
     def centroidal_accel(self) -> jnp.ndarray:
         """(B, 6) [linear; angular] acceleration from the commanded wrench
         (`mpc_wrapper.py:79-88`)."""

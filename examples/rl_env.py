@@ -88,8 +88,7 @@ class RlMpcEnv:
             self.ctrl.update_state(obs_vec)
             if k == 0:
                 self.ctrl.run_mpc()
-                grf = np.asarray(self.ctrl._last_mpc.grf_world,
-                                 dtype=np.float64)
+                grf = np.asarray(self.ctrl.grf_world, dtype=np.float64)
             self.ctrl.run_lowlevel()
             self.plant.step(
                 grf,

@@ -179,6 +179,7 @@ def test_t1_standing():
     np.testing.assert_allclose(fz, 40.0 * GRAVITY, rtol=0.25)
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """The mesh-sharded control step equals the unsharded one."""
     from biped_pympc_tpu.control.controller import BipedControllerCore
@@ -214,6 +215,7 @@ def test_sharded_step_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_shard_map_step_matches_single_device():
     """The explicit-SPMD (shard_map) step equals the unsharded one, with the
     pmean-reduced global metric matching the batch mean."""
@@ -254,6 +256,7 @@ def _yawed_obs(yaw, z=0.55):
     return obs
 
 
+@pytest.mark.slow
 def test_yaw_rotational_invariance():
     """contact_frame="yaw": the body-frame MPC wrench is heading-invariant.
 
@@ -291,6 +294,7 @@ def test_yaw_rotational_invariance():
     assert np.abs(w_world[2] - w_world[0]).max() > 8.0
 
 
+@pytest.mark.slow
 def test_yaw_mode_matches_reference_at_zero_yaw():
     """At yaw = 0 the yaw-aligned frame IS the world frame: contact_frame
     must not perturb the reference-parity solution."""

@@ -11,6 +11,9 @@ import pytest
 from biped_pympc_tpu import ControllerConf, MPCConf, MPCController
 
 
+pytestmark = pytest.mark.slow  # integration tier: pytest -m slow
+
+
 @pytest.mark.parametrize("robot,dof", [("HECTOR", 5), ("T1-newton", 6)])
 def test_extreme_states_stay_finite(robot, dof):
     B = 8

@@ -13,6 +13,10 @@ from biped_pympc_tpu import ControllerConf, MPCConf, MPCController
 from biped_pympc_tpu.models.srbd import SrbdLin
 from biped_pympc_tpu.ops import pdipm, qp as qps, reference_pdipm
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: pytest -m slow
+
 T = 20
 
 

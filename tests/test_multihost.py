@@ -16,6 +16,10 @@ import subprocess
 import sys
 from pathlib import Path
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: pytest -m slow
+
 ROOT = Path(__file__).resolve().parent.parent
 
 

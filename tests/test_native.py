@@ -12,10 +12,13 @@ from biped_pympc_tpu.ops import pdipm
 
 from test_pdipm import _make_qp, T
 
-pytestmark = pytest.mark.skipif(
-    shutil.which("make") is None or shutil.which("g++") is None,
-    reason="native toolchain unavailable",
-)
+pytestmark = [
+    pytest.mark.slow,  # integration tier: pytest -m slow (builds C++)
+    pytest.mark.skipif(
+        shutil.which("make") is None or shutil.which("g++") is None,
+        reason="native toolchain unavailable",
+    ),
+]
 
 
 @pytest.fixture(scope="module")

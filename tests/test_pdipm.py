@@ -111,6 +111,7 @@ def test_pdipm_bcr_backend_matches_golden():
                                gx[12 * T: 12 * T + 12], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_pdipm_bcr_horizon20():
     """BCR at T=20 (power-of-two-ish depth, 3 reduction levels) matches
     golden tightly — the T=10 drift above is path divergence, not bias."""
@@ -208,6 +209,7 @@ def test_friction_cone_satisfied():
     assert g_viol.max() < 1e-5
 
 
+@pytest.mark.slow
 def test_combined_corrector_matches_delta_form():
     """corrector_form="combined" equals the reference "delta" form.
 
@@ -230,6 +232,7 @@ def test_combined_corrector_matches_delta_form():
                 np.asarray(rc.x), np.asarray(rd.x), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_sum_refine_corrector_matches_delta_form():
     """corrector_form="sum_refine" equals the reference "delta" form at f64.
 
@@ -251,6 +254,7 @@ def test_sum_refine_corrector_matches_delta_form():
                 np.asarray(rc.x), np.asarray(rd.x), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_solve_adaptive_batch_matches_fixed():
     """Pure-JAX adaptive chunking: tol=0 == the fixed-iteration solve, and
     the early stop triggers with a loose tolerance."""

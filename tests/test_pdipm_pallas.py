@@ -18,6 +18,9 @@ from biped_pympc_tpu.ops import pdipm
 from test_pdipm import _make_qp
 
 
+pytestmark = pytest.mark.slow  # integration tier: pytest -m slow
+
+
 @pytest.fixture()
 def interpret_pallas(monkeypatch):
     orig = pl.pallas_call
@@ -214,3 +217,42 @@ def test_pallas_solve_adaptive(interpret_pallas):
     ad3 = pp.solve_adaptive(batch, o3, tol=0.0, tile=4)
     np.testing.assert_allclose(
         np.asarray(ad3.x), np.asarray(fixed3.x), rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_hybrid_merge_logic(interpret_pallas):
+    """solve_hybrid = fast-path result where unflagged, augmented where
+    flagged: pinned by driving flag_tol to the two extremes."""
+    qs = [_make_qp(seed=s, dtype=jnp.float32, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="ric", refine_steps=1, iterations=2)
+    aug = opts._replace(backend="ric_aug", aug_pivot=True)
+
+    fast = pp.solve(batch, opts, tile=4)
+    robust = pp.solve(batch, aug, tile=4)
+
+    # flag_tol = +inf: nothing flagged, identical to the fast path.
+    hyb_none = pp.solve_hybrid(
+        batch, opts, budget=4, flag_tol=np.inf, tile=4)
+    np.testing.assert_array_equal(np.asarray(hyb_none.x), np.asarray(fast.x))
+
+    # flag_tol = -1: every env flagged (budget covers the batch), identical
+    # to the augmented path.
+    hyb_all = pp.solve_hybrid(batch, opts, budget=4, flag_tol=-1.0, tile=4)
+    np.testing.assert_array_equal(np.asarray(hyb_all.x), np.asarray(robust.x))
+    np.testing.assert_array_equal(np.asarray(hyb_all.z), np.asarray(robust.z))
+
+    # budget < batch: only the worst-criterion envs can be re-solved; the
+    # rest must be bitwise the fast path even at flag_tol = -1.
+    hyb_b2 = pp.solve_hybrid(batch, opts, budget=2, flag_tol=-1.0, tile=4)
+    crit = np.asarray(fast.residuals).max(axis=1)
+    worst2 = set(np.argsort(crit)[-2:].tolist())
+    for i in range(4):
+        if i in worst2:
+            # Re-solved lanes match the augmented path (not bitwise: the
+            # budget-sized launch has a different lane count, so f32
+            # reassociation differs at roundoff).
+            np.testing.assert_allclose(
+                np.asarray(hyb_b2.x[i]), np.asarray(robust.x[i]), atol=1e-5)
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(hyb_b2.x[i]), np.asarray(fast.x[i]))

@@ -15,6 +15,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 import planar_drone as pd
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: pytest -m slow
+
 
 def test_lqr_settles_from_displacement():
     gain = pd.dare_gain(np.ones(6), np.ones(2), 1.0)

@@ -11,6 +11,10 @@ sys.path.insert(0, str(_ROOT / "examples"))
 
 from rl_env import RlMpcEnv
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: pytest -m slow
+
 
 def test_rl_env_steps_and_improves():
     env = RlMpcEnv(num_envs=3, vx_cmd=0.3, seed=0)

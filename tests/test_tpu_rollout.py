@@ -15,6 +15,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 from tpu_rollout import make_affine_rk4_step, run
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: pytest -m slow
+
 
 def test_affine_rk4_closed_form_matches_oracle():
     """The rollout's closed-form RK4 equals the literal 4-stage oracle.

@@ -15,6 +15,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "examples"))
 
 import train_rl_mpc as trm
 
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: pytest -m slow
+
 
 def test_ars_trains_and_updates_policy():
     w, history = trm.train(iters=2, n_dirs=2, envs_per=1, steps=6,

@@ -42,6 +42,7 @@ def test_cycloid_swing_curve():
     assert not np.allclose(p[:, 1], p_b[:, 1])
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     obs = _obs(3)
     ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=3, gait_id=2)
@@ -71,6 +72,7 @@ def test_checkpoint_batch_mismatch_rejected(tmp_path):
         ctrl4.load_state(path)
 
 
+@pytest.mark.slow
 def test_print_solve_time(capsys):
     obs = _obs(2)
     ctrl = MPCController(
