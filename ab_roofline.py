@@ -1,0 +1,189 @@
+"""Speed-of-light analysis for the fused PDIPM kernel (VERDICT item 2).
+
+Three measurements feeding the BENCH.md "speed of light" section:
+
+1. **Empirical VPU f32 roofline**: a Pallas kernel issuing K dependent
+   full-array fma passes over a VMEM-resident (256, 512) f32 tile — each
+   pass is 128k independent lanes, so the chain measures elementwise fma
+   THROUGHPUT, not latency. This is the attainable ceiling for the PDIPM
+   kernel, whose every hot op is an elementwise/rank-1 VPU op.
+2. **Analytic flop count** of one PDIPM iteration per env (ric / ric_aug,
+   dense and foot-split), from the kernel's actual op inventory.
+3. **Sustained throughput**: measured ms per 20-iteration batch-4096 solve
+   (chained-scan) -> flops/s -> utilization of the measured roofline.
+
+Why the MXU cannot help (structural): every contraction in the solver is
+per-env — (n, n, B) x (n, B) batched matvecs and rank-1 eliminations with
+B in lanes. An MXU matmul needs one operand SHARED across the batch; the
+only shared operands here are constant selectors. Contractions are over
+n <= 14 (split: <= 12), so even a hypothetical lane-batched MXU mapping
+would run at (n/128)^2 < 1% systolic utilization — below the VPU path.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def measure_vpu_roofline():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, N, K = 256, 512, 20000
+
+    def kernel(a_ref, b_ref, x_ref, o_ref):
+        a = a_ref[...]
+        b = b_ref[...]
+
+        def body(_, x):
+            return x * a + b
+
+        o_ref[...] = jax.lax.fori_loop(0, K, body, x_ref[...])
+
+    @jax.jit
+    def run(a, b, x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(a, b, x)
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(0.999, 1.001, (M, N)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(-1e-6, 1e-6, (M, N)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(0.5, 1.5, (M, N)).astype(np.float32))
+
+    @jax.jit
+    def chained(a, b, x):
+        def body(x, _):
+            return run(a, b, x), ()
+        out, _ = jax.lax.scan(body, x, None, length=10)
+        return out
+
+    np.asarray(chained(a, b, x))  # compile
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(chained(a, b, x))
+        ts.append(time.perf_counter() - t0)
+    t = float(np.median(ts))
+    flops = 2.0 * M * N * K * 10
+    return flops / t
+
+
+def flop_model(T=10, refine=1):
+    """Per-env per-iteration fma counts from the kernel op inventory.
+
+    Counts one fma as 2 flops; mask/select arithmetic of the in-place GJ
+    counted at ~1 extra mul per updated element (measured form). Returns a
+    dict per variant.
+    """
+    NI, NUv, NXv = 16, 12, 12
+
+    def gj(n, stages):  # in-place no-pivot GJ: n steps x (n*n fma + n*n mask)
+        return stages * n * (n * n * 2)
+
+    def gj_piv(n, stages):  # pivoted tableau GJ: (n, 2n) tableau + search
+        return stages * n * (n * 2 * n * 2 + 3 * n)
+
+    def mm(m, k, n):
+        return m * k * n
+
+    def mv(m, n):
+        return m * n
+
+    # shared: residuals + operators (g/a/gT/aT/hd) per application set
+    resid = 240 + T * (mv(NI, NUv) * 2 + mv(NXv, NXv) * 4) + 3 * T * NI
+    op_apply = 240 + T * (mv(NI, NUv) * 2 + mv(NXv, NXv) * 4)
+
+    def tail(kuu_cost_included):  # y-chain build + inverses
+        coup = (T - 1) * 2 * mm(12, 12, 12) + mm(12, 12, 12)  # S^T M S + adqad
+        return coup + gj(12, T)
+
+    def solve_cost(kinv_apply):
+        # fold + 2 sweeps + backsub + x recovery
+        sweeps = 2 * T * mv(12, 12) * 2
+        return 2 * kinv_apply + sweeps + 2 * T * mv(12, 12) + 4 * T * 12
+
+    out = {}
+    # --- ric dense ---
+    gtwg = T * NI * mv(12, 12)  # 16 rank-1 (12x12) updates per stage
+    bkb = 2 * T * mm(12, 12, 12)
+    kfac = gj(14, T)
+    kapp = T * mv(14, 14)
+    per_solve = solve_cost(kapp)
+    n_solves = 2 * (1 + refine)
+    n_applies = 2 * refine
+    out["ric_dense"] = (resid + gtwg + kfac + bkb + tail(True)
+                        + n_solves * per_solve + n_applies * op_apply)
+    # --- ric foot-split ---
+    gtwg_s = T * (8 * mv(4, 4) * 2)  # per-foot 8 rank-1 (4x4)
+    kfac_s = gj(4, 2 * T)
+    bkb_s = 2 * T * (mm(12, 4, 4) + mm(12, 4, 12)) + 4 * mv(12, 12)
+    kapp_s = 2 * T * mv(4, 4) + 10 * T  # two 4-wide mv + pairs/singles
+    out["ric_split"] = (resid + gtwg_s + kfac_s + bkb_s + tail(True)
+                        + n_solves * solve_cost(kapp_s)
+                        + n_applies * op_apply)
+    # --- ric_aug dense (30-wide pivoted) ---
+    kfac_a = gj_piv(30, T)
+    kapp_a = T * mv(30, 30)
+    bkb_a = 2 * T * mm(12, 12, 12)
+    out["ricaug_dense"] = (resid + kfac_a + bkb_a + tail(True)
+                           + n_solves * solve_cost(kapp_a)
+                           + n_applies * op_apply)
+    # --- ric_aug foot-split (two 12-wide pivoted) ---
+    kfac_as = gj_piv(12, 2 * T)
+    kapp_as = 2 * T * mv(12, 12) + 10 * T
+    bkb_as = 2 * T * (mm(12, 4, 4) + mm(12, 4, 12)) + 4 * mv(12, 12)
+    out["ricaug_split"] = (resid + kfac_as + bkb_as + tail(True)
+                           + n_solves * solve_cost(kapp_as)
+                           + n_applies * op_apply)
+    return {k: 2 * v for k, v in out.items()}  # fma -> flops
+
+
+def main():
+    from bench_common import make_chained, make_qp_batch
+    from biped_pympc_tpu.ops import pdipm, pdipm_pallas
+    from biped_pympc_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    peak = measure_vpu_roofline()
+    print(json.dumps({"vpu_f32_fma_roofline_tflops": round(peak / 1e12, 3)}),
+          flush=True)
+
+    model = flop_model()
+    batch = 4096
+    qp = make_qp_batch(batch)
+    for name, opts in {
+        "ric_dense": pdipm.PdipmOptions(backend="ric", refine_steps=1),
+        "ric_split": pdipm.PdipmOptions(backend="ric", refine_steps=1,
+                                        foot_split=True),
+        "ricaug_dense": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1),
+        "ricaug_split": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1,
+                                           foot_split=True),
+    }.items():
+        fn = make_chained(lambda q, o=opts: pdipm_pallas.solve(q, o), 10)
+        np.asarray(fn(qp))
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            np.asarray(fn(qp))
+            ts.append((time.perf_counter() - t0) / 10)
+        t = float(np.median(ts))
+        flops = model[name] * 20 * batch  # 20 iterations
+        print(json.dumps({
+            "variant": name,
+            "ms_per_20iter_b4096": round(1e3 * t, 2),
+            "model_flops_per_env_iter": model[name],
+            "sustained_tflops": round(flops / t / 1e12, 3),
+            "vpu_utilization": round(flops / t / peak, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -122,6 +122,17 @@ class PdipmOptions(NamedTuple):
     # definite -delta I - E Ru^-1 E^T Schur), so natural-order elimination
     # never needs a pivot swap and the search is pure overhead; True keeps
     # the pivoted form for diagnostics.
+    foot_split: bool = False  # "ric"/"ric_aug": exploit the EXACT foot
+    # decoupling of the stage [u, nu] / [u, z, nu] blocks. No cost term,
+    # G row, or Mx selector couples foot L's inputs {F_L, M_L} to foot R's
+    # — only the dynamics (Bd, handled by the y-chain) do — so K_t is
+    # block-diagonal: per foot a dense [F(3), M_y(1)] (condensed, SPD) or
+    # [F(3), M_y(1), z_f(8)] (augmented) block, plus W-independent 2x2
+    # [M_x, nu] pairs and bare M_z scalars (verified exactly, zero
+    # off-block entries). Elimination work drops ~21x ("ric": two 4-wide
+    # vs one 14-wide GJ) / ~7.8x ("ric_aug": two 12-wide vs one 30-wide);
+    # per-foot partial pivoting retains the augmented form's f32
+    # robustness (pivoting across exactly-decoupled blocks is vacuous).
 
 
 class PdipmState(NamedTuple):
@@ -621,6 +632,42 @@ def _solve_bcr(qp: StageQP, factors, r1: jnp.ndarray, r4: jnp.ndarray):
 _E_SEL_ROWS = ((0, 6), (1, 9))  # Mx selector: e[0, 6] = e[1, 9] = 1
 NUN = NU + N_MX_PER_STAGE  # 14
 
+# Foot-split block index sets (PdipmOptions.foot_split). u = [F_L(0:3),
+# F_R(3:6), M_L(6:9), M_R(9:12)]; constraint rows touch only their own
+# foot's {F, M_y}, the Mx selector pairs M_x with its nu row, and M_z is
+# untouched — so the stage blocks decompose EXACTLY (verified: zero
+# off-block entries, blockwise inverse == dense inverse to roundoff).
+_FS_RIC_BLOCKS = (
+    (0, 1, 2, 7), (3, 4, 5, 10),  # per-foot dense SPD [F, M_y]
+    (6, 12), (9, 13),             # [M_x, nu] pairs (W-independent)
+    (8,), (11,),                  # bare M_z scalars
+)
+_FS_AUG_BLOCKS = (
+    tuple([0, 1, 2, 7] + list(range(12, 20))),   # foot L [F, M_y, z_L(8)]
+    tuple([3, 4, 5, 10] + list(range(20, 28))),  # foot R [F, M_y, z_R(8)]
+    (6, 28), (9, 29),
+    (8,), (11,),
+)
+
+
+def _blockwise_inverse(k, blocks, inv):
+    """Invert (T, n, n) blockwise given exact decoupling; returns dense.
+
+    Algebraically identical to the dense inverse when every off-block entry
+    is exactly zero (the foot-split structure); ~(sum n_b^3)/(n^3) of the
+    elimination work.
+    """
+    out = jnp.zeros_like(k)
+    for blk in blocks:
+        ix = jnp.asarray(blk)
+        sub = k[:, ix[:, None], ix[None, :]]
+        if len(blk) == 1:
+            sub_inv = 1.0 / sub
+        else:
+            sub_inv = jax.vmap(inv)(sub)
+        out = out.at[:, ix[:, None], ix[None, :]].set(sub_inv)
+    return out
+
 
 def _factor_ric(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
     T = qp.horizon
@@ -641,7 +688,10 @@ def _factor_ric(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
     k = k.at[:, NU:, NU:].set(
         -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
     )
-    k_inv = jax.vmap(inv)(k)  # (T, 14, 14) — independent across stages
+    if opts.foot_split:
+        k_inv = _blockwise_inverse(k, _FS_RIC_BLOCKS, inv)
+    else:
+        k_inv = jax.vmap(inv)(k)  # (T, 14, 14) — independent across stages
 
     y_blk = -opts.delta * jnp.eye(NX, dtype=dtype) - jnp.diag(q_inv)
     adqad = Ad @ jnp.diag(q_inv) @ Ad.T
@@ -746,7 +796,10 @@ def _factor_ric_aug(qp: StageQP, w_diag: jnp.ndarray, opts: PdipmOptions):
     k = k.at[:, n0:, n0:].set(
         -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
     )
-    k_inv = jax.vmap(inv)(k)  # (T, 30, 30) — independent across stages
+    if opts.foot_split:
+        k_inv = _blockwise_inverse(k, _FS_AUG_BLOCKS, inv)
+    else:
+        k_inv = jax.vmap(inv)(k)  # (T, 30, 30) — independent across stages
 
     y_blk = -opts.delta * jnp.eye(NX, dtype=dtype) - jnp.diag(q_inv)
     adqad = Ad @ jnp.diag(q_inv) @ Ad.T

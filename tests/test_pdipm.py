@@ -277,3 +277,20 @@ def test_solve_adaptive_batch_matches_fixed():
     chunked12 = pdipm.solve_adaptive_batch(batch, o12, tol=0.0)
     np.testing.assert_allclose(np.asarray(chunked12.x), np.asarray(fixed12),
                                atol=1e-9)
+
+
+def test_foot_split_exactness():
+    """foot_split blockwise stage inverses are EXACT: the stage blocks are
+    block-diagonal by foot (zero off-block entries), so eliminating the
+    dense matrix has no fill-in and the split path reproduces the dense
+    path bitwise at f64 — for both "ric" and "ric_aug"."""
+    qp = _make_qp(seed=3, dtype=jnp.float64, vx=0.2)
+    for backend in ("ric", "ric_aug"):
+        base = pdipm.solve(
+            qp, pdipm.PdipmOptions(backend=backend, iterations=20))
+        split = pdipm.solve(
+            qp, pdipm.PdipmOptions(backend=backend, iterations=20,
+                                   foot_split=True))
+        np.testing.assert_array_equal(np.asarray(base.x), np.asarray(split.x))
+        np.testing.assert_array_equal(np.asarray(base.z), np.asarray(split.z))
+        np.testing.assert_array_equal(np.asarray(base.y), np.asarray(split.y))

@@ -256,3 +256,23 @@ def test_pallas_hybrid_merge_logic(interpret_pallas):
         else:
             np.testing.assert_array_equal(
                 np.asarray(hyb_b2.x[i]), np.asarray(fast.x[i]))
+
+
+def test_pallas_foot_split_matches_dense(interpret_pallas):
+    """Foot-split kernel factors == dense kernel factors at f64 roundoff
+    (exact block-diagonal decomposition; different summation order only)."""
+    qs = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    for backend in ("ric", "ric_aug"):
+        opts = pdipm.PdipmOptions(
+            backend=backend, refine_steps=1, iterations=3, foot_split=True)
+        res_split = pp.solve(batch, opts, tile=4)
+        res_dense = pp.solve(batch, opts._replace(foot_split=False), tile=4)
+        np.testing.assert_allclose(
+            np.asarray(res_split.x), np.asarray(res_dense.x),
+            rtol=1e-12, atol=1e-12)
+        ref = jax.vmap(
+            lambda q: pdipm.solve(q, opts))(batch)
+        np.testing.assert_allclose(
+            np.asarray(res_split.x), np.asarray(ref.x),
+            rtol=1e-12, atol=1e-12)
