@@ -48,13 +48,15 @@ def main():
     # CH=20 keeps the overhead contribution under ~2 ms at any batch.
     chain_len = int(argv[2]) if len(argv) > 2 else 20
 
-    # Two-level condensed kernel ("ric"): lane-stacked per-stage [u, nu]
-    # inverses + a 12-wide sequential dual-Riccati y-chain. Interleaved A/B
-    # on v5e: 54.6 vs 89.4 ms (vs the Thomas kernel) at batch 4096, 6.1 vs
-    # 8.3 ms at 256, at the same f32 accuracy class; "pallas_ric_aug" is
-    # the f32-robust accuracy mode (see BENCH.md). Falls back to the
-    # pure-JAX path if the Mosaic compile is unavailable on this runtime.
-    solver = "pallas_ric"
+    # SHIPPED DEFAULT (round 2): the two-level AUGMENTED kernel with the
+    # foot-split stage factorization — robust-accuracy f32 GRFs (max 0.29 N
+    # vs f64 golden on the stress QPs, vs 4-65 N tails for the condensed
+    # kernels) at 1.23x the round-1 condensed default's cost (47.6 vs
+    # 38.8 ms solver-only at b4096; BENCH.md "Round 2"). The speed mode
+    # "pallas_ric" (+foot_split) is ~1.6x faster with the documented error
+    # tail; pass it as argv[3] to measure. Falls back to the pure-JAX path
+    # if the Mosaic compile is unavailable on this runtime.
+    solver = argv[3] if len(argv) > 3 else "pallas_ric_aug"
     mpc_cfg = MPCConf(solver=solver, verbose=False)
     core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
     state = core.init_state(batch)
@@ -156,9 +158,16 @@ def main():
             "chain_len": chain_len,
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
+            "solver": mpc_cfg.solver,
             "note": "chained-scan timing; vs_baseline = rate / (4096 envs x "
                     "100 Hz x 4 launches), the real-time requirement "
-                    "BASELINE.json budgets for a v5e-16.",
+                    "BASELINE.json budgets for a v5e-16. Round 2: the "
+                    "default solver is now the ROBUST-accuracy augmented "
+                    "foot-split kernel (f32 GRF max err 0.29 N vs f64 "
+                    "golden on the stress set; the round-1 headline solver "
+                    "pallas_ric carried 4-162 N tails). Speed mode "
+                    "pallas_ric+foot_split: 29.6 ms solver-only at b4096 "
+                    "= ~550k solves/s (BENCH.md round-2 table).",
         },
     }
     print(json.dumps(result))

@@ -34,6 +34,10 @@ def main():
     p.add_argument("--chain", type=int, default=10)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--horizon", type=int, default=10)
+    p.add_argument("--randomized", action="store_true",
+                   help="BASELINE config 5 workload: per-env random mu/f_max/"
+                        "contact tables/commands (make_qp_batch_randomized) "
+                        "instead of the 8 tiled stress QPs")
     args = p.parse_args()
 
     import jax
@@ -44,7 +48,7 @@ def main():
 
     enable_compilation_cache()
 
-    from bench_common import make_qp_batch
+    from bench_common import make_qp_batch, make_qp_batch_randomized
 
     def timed_chain(qp, solve_fn, chain, reps):
         @jax.jit
@@ -76,14 +80,33 @@ def main():
     }
 
     for batch in [int(b) for b in args.batches.split(",")]:
-        qp = make_qp_batch(batch, horizon=args.horizon)
+        if args.randomized:
+            qp = make_qp_batch_randomized(batch, horizon=args.horizon)
+        else:
+            qp = make_qp_batch(batch, horizon=args.horizon)
         for name in args.methods.split(","):
             try:
                 t, compile_s = timed_chain(
                     qp, methods[name], args.chain, args.reps)
+                extra = {}
+                if args.randomized:
+                    # Solution-health stats for the domain-randomized run:
+                    # finite fraction + stance-force stats of u0.
+                    res = jax.jit(methods[name])(qp)
+                    u0 = np.asarray(res.x[:, 120:132])
+                    finite = np.isfinite(u0).all(axis=1)
+                    fz = u0[:, [2, 5]]
+                    extra = {
+                        "finite_frac": round(float(finite.mean()), 5),
+                        "fz_max_N": round(float(fz.max()), 1),
+                        "fz_p50_N": round(float(np.median(fz[fz > 1.0])), 1)
+                        if (fz > 1.0).any() else 0.0,
+                    }
                 print(json.dumps({
+                    **extra,
                     "method": name, "batch": batch,
                     "horizon": args.horizon,
+                    "workload": "randomized" if args.randomized else "stress8",
                     "ms_per_solve": round(1e3 * t, 3),
                     "solve_units_per_sec": round(batch * 4 / t, 1),
                     "compile_s": round(compile_s, 1),

@@ -44,9 +44,12 @@ class MPCConf:
     R: Tuple[float, ...] = _DEFAULT_R
     # Default: the two-level augmented backend — same f32-robust accuracy
     # class as "tridiag_aug" (f64 golden parity ~2e-8) at a fraction of the
-    # factorization work. On TPU prefer the fused kernels: "pallas_ric"
-    # (fast default), "pallas_ric2" (~8% faster, wider f32 error tail on
-    # contact-chattering QPs) or "pallas_ric_aug" (accuracy mode).
+    # factorization work. On TPU use the fused kernels: "pallas_ric_aug"
+    # (DEFAULT recommendation — with the foot-split factorization it holds
+    # the robust accuracy class, max 0.29 N on the stress QPs, at 1.23x
+    # the condensed kernel's cost; BENCH.md round 2) or "pallas_ric"
+    # (speed mode: ~1.6x faster, f32 GRF tails of tens of N on
+    # near-degenerate contact-switch QPs).
     solver: Literal[
         "tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
         "pallas", "pallas_aug", "pallas_bcr", "pallas_ric", "pallas_ric2",
@@ -72,6 +75,21 @@ class MPCConf:
     # saturates.
     f_max: float = 500.0
     solver_refine_steps: int = 1
+    # Foot-split stage factorization ("ric"/"ric_aug" backends, pure-JAX and
+    # Pallas): the stage [u, nu] / [u, z, nu] blocks decompose EXACTLY by
+    # foot (no cost term, friction/line-contact row, or Mx selector couples
+    # foot L's inputs to foot R's — only the dynamics do, and those live in
+    # the y-chain), so the per-stage inverses shrink from one 14-/30-wide
+    # elimination to two 4-/12-wide ones (~21x / ~7.8x fewer factor flops)
+    # with bitwise-identical f64 results (`tests/test_pdipm.py::
+    # test_foot_split_exactness`). Measured TPU A/B in BENCH.md round 2:
+    # 3.25x faster ric_aug (155 -> 48 ms at b4096), 20x faster cold
+    # compiles (443 -> 13-22 s). Default ON; set False for the dense
+    # cross-check factorization. NOTE: on the CONDENSED "ric" backend the
+    # split widens the worst-case f32 stress tail (65 vs 4 N on one
+    # near-degenerate problem) — the shipped default pairs the split with
+    # the augmented backend, where it is accuracy-neutral (0.29 vs 0.11 N).
+    solver_foot_split: bool = True
     # Adaptive iterations (opt-in, NOT strict reference parity): when > 0,
     # run the solver in `adaptive_chunk`-step launches inside a
     # `lax.while_loop` and stop early once EVERY env's residual criterion

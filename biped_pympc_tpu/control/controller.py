@@ -76,20 +76,19 @@ class BipedControllerCore:
         self.dtype = dtype
         self.robot: RobotSpec = get_robot(mpc_cfg.robot)
         # Pallas kernel algorithm menu (each also exists as a pure-JAX
-        # backend under the un-prefixed name):
-        #   pallas_ric     - two-level condensed: fast default (v5e
-        #                    interleaved A/B: 1.63x over "pallas" at batch
-        #                    4096; no-pivot stage inverses)
+        # backend under the un-prefixed name). With the round-2 foot-split
+        # factorization (`MPCConf.solver_foot_split`, default on):
+        #   pallas_ric_aug - two-level augmented: THE TPU DEFAULT — robust
+        #                    f32 accuracy (max 0.29 N stress-QP GRF error
+        #                    vs f64 golden) at 1.23x pallas_ric's cost
+        #                    (47.6 vs 38.8 ms solver-only at b4096)
+        #   pallas_ric     - two-level condensed: speed mode (~1.6x faster
+        #                    than the default; f32 tails of tens of N on
+        #                    near-degenerate contact-switch QPs)
         #   pallas_ric2    - ric with the 2-wide nu block eliminated by a
-        #                    rank-2 Schur identity (12-wide SPD inverses
-        #                    only): ~8% faster than pallas_ric but with a
-        #                    worse f32 error tail on contact-chattering
-        #                    stress QPs (70 N vs 4 N worst of 8; medians
-        #                    equal) — opt-in for throughput-bound fleets
-        #   pallas_ric_aug - two-level augmented: f32-robust accuracy mode
-        #                    (~30x smaller GRF error tails), 1.5x faster
-        #                    than "pallas_aug"
-        #   pallas         - 26-wide Thomas sweep (previous default)
+        #                    rank-2 Schur identity — superseded by
+        #                    pallas_ric+foot_split on both axes
+        #   pallas         - 26-wide Thomas sweep (round-0 default)
         #   pallas_aug     - 42-wide augmented Thomas sweep
         #   pallas_bcr     - log-depth cyclic reduction (kept for wide
         #                    horizons; slower at T=10)
@@ -116,6 +115,8 @@ class BipedControllerCore:
             delta=mpc_cfg.solver_delta,
             backend=backend,
             refine_steps=mpc_cfg.solver_refine_steps,
+            foot_split=mpc_cfg.solver_foot_split
+            and backend in ("ric", "ric_aug"),
         )
         self.num_dof = self.robot.num_dof
 

@@ -110,6 +110,12 @@ class PdipmOptions(NamedTuple):
     #   stay scale-separated), then refine the SUMMED direction against
     #   the full 4-row KKT residual — the refinement rhs is a small
     #   correction, exactly where f32 is safe. Also 3 solves + 1 apply.
+    # * "aff_ref": refined affine + UNREFINED corrector. 3 solves + 1
+    #   apply. Motivated by the sum_refine isolation (BENCH.md): the f32
+    #   failure mode of the cheap forms is the unrefined AFFINE predictor
+    #   poisoning sigma and the ds*dz corrector products; the corrector
+    #   solve's own error enters the final direction linearly and stays
+    #   small under the pivoted augmented factorization. Measured round 2.
     aug_pivot: bool = True  # Pallas "ric_aug" kernel: per-lane pivot search
     # in the 30-wide [u, z, nu] stage inverses. MEASURED REQUIRED: unlike
     # the condensed K block (whose R+beta+G^T W^-1 G pivot is O(W)-strong),
@@ -1013,7 +1019,9 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
             dx, ds, dz, dy = dx + ex, ds + es, dz + ez, dy + ey
     else:
         dx_c, ds_c, dz_c, dy_c = reduced_solve(
-            zeros_z, -rc / s, zeros_i, zeros_e
+            zeros_z, -rc / s, zeros_i, zeros_e,
+            refine=0 if opts.corrector_form == "aff_ref"
+            else opts.refine_steps,
         )
         dx, ds, dz, dy = dx_a + dx_c, ds_a + ds_c, dz_a + dz_c, dy_a + dy_c
     alpha_p = _frac_to_boundary(s, ds, opts)

@@ -609,14 +609,17 @@ def _pdipm_kernel(
         """Per-env inverse coefficients of the W-independent sub-blocks.
 
         [M_x, nu] 2x2 = [[r+beta, 1], [1, -delta]] per foot, plus bare M_z
-        scalars; all constant across stages AND iterations."""
+        scalars; all constant across stages AND iterations. All entries are
+        keepdims (1, B) rows — Mosaic's layout inference rejects the
+        implicit-dim layouts rank-dropping row reads produce (sublane
+        offset >= tile height check in InferVectorLayout)."""
         out = {}
         for name, j in (("6", 6), ("9", 9)):
-            rj = r_diag[j] + opts.beta  # (B,)
+            rj = r_diag[j:j + 1] + opts.beta  # (1, B)
             det = -rj * opts.delta - 1.0
             out[name] = (-opts.delta / det, -1.0 / det, rj / det)
-        out["8"] = 1.0 / (r_diag[8] + opts.beta)
-        out["11"] = 1.0 / (r_diag[11] + opts.beta)
+        out["8"] = 1.0 / (r_diag[8:9] + opts.beta)
+        out["11"] = 1.0 / (r_diag[11:12] + opts.beta)
         return out
 
     def _tile_lanes(x, n):
@@ -629,10 +632,12 @@ def _pdipm_kernel(
         bkb = _mm(_mm(bdL4_st, k4L_inv_st), jnp.swapaxes(bdL4_st, 0, 1)) \
             + _mm(_mm(bdR4_st, k4R_inv_st), jnp.swapaxes(bdR4_st, 0, 1))
         # W-independent scalar columns: c_j * bd_j bd_j^T, same every stage.
+        # Keepdims slices only (see `_pair_single_coeffs` layout note).
         couter = None
         for j, c in ((6, cf["6"][0]), (8, cf["8"]),
                      (9, cf["9"][0]), (11, cf["11"])):
-            o = bd[:, j, :][:, None, :] * bd[:, j, :][None, :, :] * c[None, None, :]
+            bj = bd[:, j:j + 1, :]  # (12, 1, B)
+            o = bj * jnp.swapaxes(bj, 0, 1) * c[None]  # c: (1, B)
             couter = o if couter is None else couter + o
         return bkb + _tile_lanes(couter, T)
 
@@ -669,19 +674,19 @@ def _pdipm_kernel(
         c8 = _tile_lanes(cf["8"], T)
         c11 = _tile_lanes(cf["11"], T)
 
-        def kinv(r_st):  # (14, L) -> (14, L)
+        def kinv(r_st):  # (14, L) -> (14, L); keepdims rows only (layout)
             duL4 = _mv(k4L_inv_st, jnp.concatenate(
                 [r_st[0:3], r_st[7:8]], axis=0))
             duR4 = _mv(k4R_inv_st, jnp.concatenate(
                 [r_st[3:6], r_st[10:11]], axis=0))
-            du6 = c6[0] * r_st[6] + c6[1] * r_st[12]
-            dn0 = c6[1] * r_st[6] + c6[2] * r_st[12]
-            du9 = c9[0] * r_st[9] + c9[1] * r_st[13]
-            dn1 = c9[1] * r_st[9] + c9[2] * r_st[13]
+            du6 = c6[0] * r_st[6:7] + c6[1] * r_st[12:13]
+            dn0 = c6[1] * r_st[6:7] + c6[2] * r_st[12:13]
+            du9 = c9[0] * r_st[9:10] + c9[1] * r_st[13:14]
+            dn1 = c9[1] * r_st[9:10] + c9[2] * r_st[13:14]
             return jnp.concatenate([
-                duL4[0:3], duR4[0:3], du6[None], duL4[3:4],
-                (c8 * r_st[8])[None], du9[None], duR4[3:4],
-                (c11 * r_st[11])[None], dn0[None], dn1[None],
+                duL4[0:3], duR4[0:3], du6, duL4[3:4],
+                c8 * r_st[8:9], du9, duR4[3:4],
+                c11 * r_st[11:12], dn0, dn1,
             ], axis=0)
 
         bkb_st = _split_bkb(k4L_inv_st, k4R_inv_st, cf)
@@ -727,20 +732,21 @@ def _pdipm_kernel(
         c8 = _tile_lanes(cf["8"], T)
         c11 = _tile_lanes(cf["11"], T)
 
-        def kinv(r_st):  # (30, L) -> (30, L); rows [u(12), z(16), nu(2)]
+        def kinv(r_st):  # (30, L) -> (30, L); rows [u(12), z(16), nu(2)];
+            # keepdims rows only (see `_pair_single_coeffs` layout note)
             wL = _mv(kaL_inv_st, jnp.concatenate(
                 [r_st[0:3], r_st[7:8], r_st[12:20]], axis=0))
             wR = _mv(kaR_inv_st, jnp.concatenate(
                 [r_st[3:6], r_st[10:11], r_st[20:28]], axis=0))
-            du6 = c6[0] * r_st[6] + c6[1] * r_st[28]
-            dn0 = c6[1] * r_st[6] + c6[2] * r_st[28]
-            du9 = c9[0] * r_st[9] + c9[1] * r_st[29]
-            dn1 = c9[1] * r_st[9] + c9[2] * r_st[29]
+            du6 = c6[0] * r_st[6:7] + c6[1] * r_st[28:29]
+            dn0 = c6[1] * r_st[6:7] + c6[2] * r_st[28:29]
+            du9 = c9[0] * r_st[9:10] + c9[1] * r_st[29:30]
+            dn1 = c9[1] * r_st[9:10] + c9[2] * r_st[29:30]
             return jnp.concatenate([
-                wL[0:3], wR[0:3], du6[None], wL[3:4],
-                (c8 * r_st[8])[None], du9[None], wR[3:4],
-                (c11 * r_st[11])[None],
-                wL[4:12], wR[4:12], dn0[None], dn1[None],
+                wL[0:3], wR[0:3], du6, wL[3:4],
+                c8 * r_st[8:9], du9, wR[3:4],
+                c11 * r_st[11:12],
+                wL[4:12], wR[4:12], dn0, dn1,
             ], axis=0)
 
         bkb_st = _split_bkb(
@@ -1280,7 +1286,12 @@ def _pdipm_kernel(
             zero_ni = jnp.zeros_like(s)
             zero_ne = jnp.zeros_like(re)
             dx_c, ds_c, dz_c, dy_c = reduced_solve(
-                zero_nz, -rc / s, zero_ni, zero_ne
+                zero_nz, -rc / s, zero_ni, zero_ne,
+                # "aff_ref": keep the load-bearing affine refinement, skip
+                # the corrector's (its solve error enters the direction
+                # linearly; see PdipmOptions.corrector_form).
+                refine=0 if opts.corrector_form == "aff_ref"
+                else opts.refine_steps,
             )
             dx = dx_a + dx_c
             ds = ds_a + ds_c

@@ -133,6 +133,33 @@ def test_per_env_contact_parameters_bind():
     assert fx[0].max() > fx[1].max()
 
 
+def test_solver_foot_split_config_matches_dense():
+    """`MPCConf.solver_foot_split` reproduces the dense stage factorization.
+
+    The foot-split decomposition is exact (block-diagonal by foot), so at
+    f64 the full controller step must give identical GRFs and torques up to
+    roundoff of the reordered reductions."""
+    B = 2
+    outs = []
+    for split in (False, True):
+        ctrl = MPCController(
+            ControllerConf(),
+            MPCConf(solver="ric_aug", solver_foot_split=split, verbose=False),
+            num_envs=B, gait_id=2,
+        )
+        obs = _hector_obs(B)
+        twist = np.zeros((B, 3), np.float32)
+        twist[:, 0] = 0.3
+        ctrl.set_command(twist, np.full(B, 0.55, np.float32))
+        ctrl.update_state(obs)
+        ctrl.run_mpc()
+        ctrl.run_lowlevel()
+        outs.append((np.asarray(ctrl.ground_reaction_wrench),
+                     np.asarray(ctrl.get_action())))
+    np.testing.assert_allclose(outs[0][0], outs[1][0], atol=1e-7)
+    np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-7)
+
+
 def test_reset_masks_only_selected_envs():
     B = 3
     ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=B, gait_id=2)
