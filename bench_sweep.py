@@ -71,6 +71,14 @@ def main():
         return float(np.median(ts)), compile_s
 
     methods = {
+        # Round-2 shipped default: robust augmented foot-split kernel.
+        "pallas_ricaug_split": lambda q: pdipm_pallas.solve(
+            q, pdipm.PdipmOptions(backend="ric_aug", refine_steps=1,
+                                  foot_split=True)),
+        # Speed mode (documented f32 stress tails).
+        "pallas_ric_split": lambda q: pdipm_pallas.solve(
+            q, pdipm.PdipmOptions(backend="ric", refine_steps=1,
+                                  foot_split=True)),
         "pallas_ric": lambda q: pdipm_pallas.solve(
             q, pdipm.PdipmOptions(backend="ric", refine_steps=1)),
         "pallas": lambda q: pdipm_pallas.solve(
