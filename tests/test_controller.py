@@ -133,8 +133,12 @@ def test_per_env_contact_parameters_bind():
     assert fx[0].max() > fx[1].max()
 
 
+@pytest.mark.slow
 def test_solver_foot_split_config_matches_dense():
     """`MPCConf.solver_foot_split` reproduces the dense stage factorization.
+
+    (Slow tier: compiles two full controllers; the underlying split-vs-dense
+    exactness is covered in the fast tier by `test_foot_split_exactness`.)
 
     The foot-split decomposition is exact (block-diagonal by foot), so at
     f64 the full controller step must give identical GRFs and torques up to
