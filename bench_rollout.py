@@ -22,7 +22,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batches", default="1024,4096")
     p.add_argument("--seconds", type=float, default=0.5)
-    p.add_argument("--solver", default="pallas_ric")
+    p.add_argument("--solver", default="pallas_ric_aug",
+                   help="round-2 default: robust augmented foot-split "
+                        "kernel; 'pallas_ric' is the speed mode")
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 
