@@ -1396,9 +1396,15 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
 
 
 def _tile_and_pad(batch: int, tile: int):
-    """Static helper: shrink the tile for small batches, compute padding."""
-    if batch % tile != 0 and batch < tile:
-        tile = max(8, 1 << (batch - 1).bit_length())  # small-batch tiles
+    """Static helper: padding to a whole number of lane tiles.
+
+    Small batches PAD UP to the full `tile` rather than shrinking it:
+    sub-128-lane tiles mis-align the kernel's lane-concatenation offsets
+    and Mosaic rejects them ("result/input offset mismatch on non-concat
+    dimension", hit at batch 8 on v5e), and the VPU computes full
+    128-lane vectors regardless, so padding costs no time. Callers that
+    want genuinely smaller tiles (interpret-mode tests) pass `tile`
+    explicitly."""
     return tile, (-batch) % tile
 
 
