@@ -6,18 +6,16 @@ One TPU process measuring, for each candidate default:
   2. ms per full 20-iteration batch-4096 solve (`ab_split.py` chained-scan
      methodology, variants interleaved per rep).
 
-Candidates:
-  ric_dense_r1      - round-1 shipped default (condensed, refine 1)
-  ric_split_r1      - foot-split condensed (speed mode)
-  ricaug_dense_r1   - round-1 accuracy mode (the 3x tax)
-  ricaug_split_r1   - foot-split augmented, refine 1
-  ricaug_split_r0   - foot-split augmented, NO refinement — the reference
-                      itself never refines (`sparse_pdipm_solver.py:441-457`
-                      does two direct ldl_solves per iteration); refinement
-                      was introduced for the f32 CONDENSED path, whose
-                      G^T W G absorption it repairs. If the pivoted
-                      augmented factorization alone holds the accuracy
-                      class, dropping it halves the solve count.
+Candidates (round-2b edit — the round-2a five-way matrix lives in
+.ab_round2.log; this file now measures the corrector-form follow-up):
+  ricaug_split_r1   - the shipped robust default (foot-split augmented,
+                      refine 1, reference "delta" corrector form)
+  ricaug_split_aff  - same factorization, "aff_ref" corrector (refined
+                      affine + unrefined corrector, 3 solves + 1 apply):
+                      measures whether only the affine refinement is
+                      load-bearing. RESULT: no — max 15.1 N stress error.
+  ric_dense_aff     - condensed dense with "aff_ref", same question for
+                      the speed-mode factorization.
 """
 
 import json

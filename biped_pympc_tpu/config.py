@@ -83,12 +83,16 @@ class MPCConf:
     # elimination to two 4-/12-wide ones (~21x / ~7.8x fewer factor flops)
     # with bitwise-identical f64 results (`tests/test_pdipm.py::
     # test_foot_split_exactness`). Measured TPU A/B in BENCH.md round 2:
-    # 3.25x faster ric_aug (155 -> 48 ms at b4096), 20x faster cold
-    # compiles (443 -> 13-22 s). Default ON; set False for the dense
+    # 3.25x faster ric_aug (155 -> 48 ms at b4096), and much faster cold
+    # kernel compiles (per backend: ric dense 443 s -> split 13 s; ric_aug
+    # dense 68-77 s -> split 22 s). Default ON; set False for the dense
     # cross-check factorization. NOTE: on the CONDENSED "ric" backend the
     # split widens the worst-case f32 stress tail (65 vs 4 N on one
-    # near-degenerate problem) — the shipped default pairs the split with
-    # the augmented backend, where it is accuracy-neutral (0.29 vs 0.11 N).
+    # near-degenerate problem; round-2 A/B) — upgraders already on
+    # solver="ric"/"pallas_ric" get a changed accuracy profile from this
+    # default (also called out in README "Upgrade notes"). The shipped
+    # default pairs the split with the augmented backend, where it is
+    # accuracy-neutral (0.29 vs 0.11 N).
     solver_foot_split: bool = True
     # Adaptive iterations (opt-in, NOT strict reference parity): when > 0,
     # run the solver in `adaptive_chunk`-step launches inside a

@@ -111,11 +111,12 @@ class PdipmOptions(NamedTuple):
     #   the full 4-row KKT residual — the refinement rhs is a small
     #   correction, exactly where f32 is safe. Also 3 solves + 1 apply.
     # * "aff_ref": refined affine + UNREFINED corrector. 3 solves + 1
-    #   apply. Motivated by the sum_refine isolation (BENCH.md): the f32
-    #   failure mode of the cheap forms is the unrefined AFFINE predictor
-    #   poisoning sigma and the ds*dz corrector products; the corrector
-    #   solve's own error enters the final direction linearly and stays
-    #   small under the pivoted augmented factorization. Measured round 2.
+    #   apply. Hypothesis from the sum_refine isolation: the f32 failure
+    #   mode of the cheap forms would be the unrefined AFFINE predictor
+    #   poisoning sigma and the ds*dz corrector products, with the
+    #   corrector solve's own error entering only linearly. REJECTED:
+    #   measures max 15.1 N on the stress set vs 0.29 N for "delta"
+    #   (round-2 A/B, .ab_round2b.log / BENCH.md); kept for diagnostics.
     aug_pivot: bool = True  # Pallas "ric_aug" kernel: per-lane pivot search
     # in the 30-wide [u, z, nu] stage inverses. MEASURED REQUIRED: unlike
     # the condensed K block (whose R+beta+G^T W^-1 G pivot is O(W)-strong),

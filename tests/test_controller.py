@@ -149,7 +149,7 @@ def test_solver_foot_split_config_matches_dense():
         ctrl = MPCController(
             ControllerConf(),
             MPCConf(solver="ric_aug", solver_foot_split=split, verbose=False),
-            num_envs=B, gait_id=2,
+            num_envs=B, gait_id=2, dtype=jnp.float64,
         )
         obs = _hector_obs(B)
         twist = np.zeros((B, 3), np.float32)
