@@ -46,10 +46,23 @@ class MPCConf:
     # class as "tridiag_aug" (f64 golden parity ~2e-8) at a fraction of the
     # factorization work. On TPU use the fused kernels: "pallas_ric_aug"
     # (DEFAULT recommendation — with the foot-split factorization it holds
-    # the robust accuracy class, max 0.29 N on the stress QPs, at 1.23x
-    # the condensed kernel's cost; BENCH.md round 2) or "pallas_ric"
-    # (speed mode: ~1.6x faster, f32 GRF tails of tens of N on
-    # near-degenerate contact-switch QPs).
+    # the robust accuracy class, max 0.29 N on the stress QPs, at 1.6x
+    # the condensed kernel's cost; BENCH.md round 2).
+    # SPEED MODES (measured caveats, BENCH.md "hybrid flag"):
+    #   "pallas_hybrid" — condensed kernel everywhere + budgeted augmented
+    #     re-solve of the worst-criterion envs. GUARANTEES finiteness
+    #     (measured 100% finite at batch 32768 under domain randomization,
+    #     where the bare condensed kernel NaNs on 0.6-0.7% of envs) at
+    #     ~1.13x the condensed cost, and repairs the worst divergent
+    #     envs — but the residual criterion does not separate the f32
+    #     condensation error tail (12.9% of randomized envs differ >1 N
+    #     from the augmented solution; best-case flag still leaves ~3 N
+    #     unflagged while re-solving half the batch), so it is NOT a
+    #     robust-accuracy substitute.
+    #   "pallas_ric" — bare condensed kernel: QUARANTINED for randomized
+    #     domains (silent NaNs on 0.6-0.7% of envs + the same error
+    #     tail); use it only on benign, well-conditioned workloads, or
+    #     via "pallas_hybrid" for the finiteness guarantee.
     solver: Literal[
         "tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
         "pallas", "pallas_aug", "pallas_bcr", "pallas_ric", "pallas_ric2",
@@ -57,10 +70,13 @@ class MPCConf:
     ] = "ric_aug"
     # "pallas_hybrid" knobs: the fast condensed kernel runs on every env,
     # then at most `hybrid_budget` envs whose final residual criterion
-    # max(||rx||, ||rs||, ||re||, mu) exceeds `hybrid_flag_tol` are
-    # re-solved with the robust augmented kernel (worst-first). Calibration
-    # measured in BENCH.md "hybrid flag".
-    hybrid_budget: int = 128
+    # max(||rx||, ||rs||, ||re||, mu) exceeds `hybrid_flag_tol` — or is
+    # non-finite, or whose solution is non-finite — are re-solved with the
+    # robust augmented kernel (worst-first). hybrid_budget <= 0 (default)
+    # auto-sizes to max(64, batch // 32): ~3.1% of the batch, ~5x the
+    # measured 0.65% randomized-domain NaN rate of the condensed speed
+    # mode. Flag-tol calibration measured in BENCH.md "hybrid flag".
+    hybrid_budget: int = 0
     hybrid_flag_tol: float = 1.0
     robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
@@ -94,6 +110,20 @@ class MPCConf:
     # default pairs the split with the augmented backend, where it is
     # accuracy-neutral (0.29 vs 0.11 N).
     solver_foot_split: bool = True
+    # Sublane packing of the foot-split blocks (Pallas kernels only): the
+    # split's per-foot 4-wide (ric) / 12-wide (ric_aug) tiles waste VPU
+    # sublanes (4/8 resp. 12/16 occupancy — the round-2 "Speed of light"
+    # recorded lever (b)); packing both feet's blocks column-wise into one
+    # array runs the paired Gauss-Jordan and every K^-1 apply at full tile
+    # width. Numerically identical per foot (same recurrence and pivot
+    # choices; `tests/test_pdipm_pallas.py::test_pallas_foot_pack_matches
+    # _unpacked`). MEASURED NEGATIVE, default OFF: on v5e the packed forms
+    # are slower at every batch — ric 30.9 vs 29.9 ms, ric_aug 85.2
+    # (paired-pivot GJ) / 48.9 ("apply"-only repack) vs 47.9 ms at b4096
+    # (BENCH.md round 3 "Sublane packing"); the lever's occupancy model
+    # did not survive contact with Mosaic's actual scheduling. Kept as
+    # tested variants (True | "apply") for other shapes/hardware.
+    solver_foot_pack: bool = False
     # Adaptive iterations (opt-in, NOT strict reference parity): when > 0,
     # run the solver in `adaptive_chunk`-step launches inside a
     # `lax.while_loop` and stop early once EVERY env's residual criterion

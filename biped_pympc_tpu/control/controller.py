@@ -80,11 +80,18 @@ class BipedControllerCore:
         # factorization (`MPCConf.solver_foot_split`, default on):
         #   pallas_ric_aug - two-level augmented: THE TPU DEFAULT — robust
         #                    f32 accuracy (max 0.29 N stress-QP GRF error
-        #                    vs f64 golden) at 1.23x pallas_ric's cost
-        #                    (47.6 vs 38.8 ms solver-only at b4096)
-        #   pallas_ric     - two-level condensed: speed mode (~1.6x faster
-        #                    than the default; f32 tails of tens of N on
-        #                    near-degenerate contact-switch QPs)
+        #                    vs f64 golden) at 1.6x pallas_ric's cost
+        #                    (47.9 vs 29.9 ms solver-only at b4096)
+        #   pallas_hybrid  - speed mode WITH finiteness guarantee: the
+        #                    condensed kernel everywhere + budgeted
+        #                    augmented re-solve of the worst-criterion
+        #                    envs (100% finite at b32768 randomized,
+        #                    33.7 ms at b4096; NOT robust-accuracy — see
+        #                    MPCConf.solver / BENCH.md "hybrid flag")
+        #   pallas_ric     - bare condensed kernel: quarantined for
+        #                    randomized domains (NaNs on 0.6-0.7% of envs
+        #                    + f32 tails of tens of N on near-degenerate
+        #                    contact-switch QPs)
         #   pallas_ric2    - ric with the 2-wide nu block eliminated by a
         #                    rank-2 Schur identity — superseded by
         #                    pallas_ric+foot_split on both axes
@@ -117,6 +124,14 @@ class BipedControllerCore:
             refine_steps=mpc_cfg.solver_refine_steps,
             foot_split=mpc_cfg.solver_foot_split
             and backend in ("ric", "ric_aug"),
+            # solver_foot_pack last so its value (True | "apply") survives
+            # the boolean-gate chain.
+            foot_pack=(
+                mpc_cfg.solver_foot_split
+                and mpc_cfg.solver.startswith("pallas")
+                and backend in ("ric", "ric_aug")
+                and mpc_cfg.solver_foot_pack
+            ),
         )
         self.num_dof = self.robot.num_dof
 

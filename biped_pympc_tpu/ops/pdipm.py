@@ -140,6 +140,18 @@ class PdipmOptions(NamedTuple):
     # vs one 14-wide GJ) / ~7.8x ("ric_aug": two 12-wide vs one 30-wide);
     # per-foot partial pivoting retains the augmented form's f32
     # robustness (pivoting across exactly-decoupled blocks is vacuous).
+    foot_pack: bool = False  # False | True | "apply".
+    # Pallas foot-split kernels only: pack the two
+    # per-foot blocks side by side in the SUBLANE (column) dimension of
+    # one array instead of lane-stacking them — the split's 4-wide (ric)
+    # and 12-wide (ric_aug) tiles otherwise waste sublanes (4/8 resp.
+    # 12/16 occupancy, the recorded round-2 "Speed of light" lever (b)).
+    # The paired Gauss-Jordan eliminates row k of both blocks per step
+    # with per-half pivots (`_gj_pair_inplace` / `_gj_pair_pivot`), and
+    # the packed stored inverse makes every K^-1 apply a full-sublane
+    # pass. Numerically identical per half (same recurrence, same pivot
+    # choices). Ignored by the pure-JAX backends and when foot_split is
+    # off. TPU A/B in BENCH.md round 3.
 
 
 class PdipmState(NamedTuple):

@@ -188,6 +188,118 @@ def _gj_inverse_nopivot_inplace(s_mat):
     return a
 
 
+def _gj_pair_inplace(a):
+    """Invert TWO independent (n, n, L) matrix batches packed side by side
+    in COLUMNS of one (n, 2n, L) array, in place, no pivot search.
+
+    Sublane-packing lever (BENCH.md round-2 "Speed of light" (b)): the two
+    4-wide foot blocks of the split condensed factorization each store
+    (4, 4, L) — only 4 of 8 sublanes of every VPU tile carry data. Packing
+    [K_L | K_R] column-wise fills the tile exactly: each Jordan step
+    eliminates row k of BOTH matrices simultaneously (identical column
+    structure), with per-half pivots and two half-masked rank-1 updates.
+    Per-half recurrence identical to `_gj_inverse_nopivot_inplace`; the
+    tableau passes per step go 2 -> 3, but each runs at full sublane
+    occupancy on HALF the lanes (net ~25% fewer issue slots on the GJ and
+    2x fewer on every downstream apply — A/B in BENCH.md round 3). Only
+    valid for the no-pivot (symmetric-definite) blocks.
+    """
+    n = a.shape[0]
+    dt = a.dtype
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+    colv = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 1), 0)  # (2n, 1)
+    colh = jax.lax.broadcasted_iota(jnp.int32, (1, 2 * n), 1)  # (1, 2n)
+    hl_v = (colv < n).astype(dt)  # (2n, 1) left-half col mask
+    hr_v = 1.0 - hl_v
+    for k in range(n):
+        ipivL = 1.0 / a[k, k]  # (B,)
+        ipivR = 1.0 / a[k, n + k]
+        ekr = (row_idx == k).astype(dt)  # (n, 1)
+        ekc_v = ((colv == k) | (colv == n + k)).astype(dt)  # (2n, 1)
+        ekc_h = ((colh == k) | (colh == n + k)).astype(dt)  # (1, 2n)
+        # Scaled pivot row for both halves at once; diagonal -> 1/pivot
+        # (multiplicative one-hot — see `_gj_inverse_nopivot_inplace` on
+        # why the blended form loses the inverse at condensed-W scales).
+        ipiv_cols = hl_v * ipivL[None, :] + hr_v * ipivR[None, :]  # (2n, B)
+        p_row = ipiv_cols * (a[k] * (1.0 - ekc_v) + ekc_v)  # (2n, B)
+        p_row_l = p_row * hl_v
+        p_row_r = p_row * hr_v
+        # Per-half multipliers, exactly -1 at row k (writes +p_row there).
+        f_l = a[:, k, :] * (1.0 - ekr) - ekr  # (n, B)
+        f_r = a[:, n + k, :] * (1.0 - ekr) - ekr
+        cross = ((1.0 - ekr) * (1.0 - ekc_h))[:, :, None]  # (n, 2n, 1)
+        a = (a * cross
+             - f_l[:, None, :] * p_row_l[None, :, :]
+             - f_r[:, None, :] * p_row_r[None, :, :])
+    return a
+
+
+def _gj_pair_pivot(s_pair):
+    """Invert two independent (n, n, L) batches packed column-wise in one
+    (n, 2n, L) array WITH per-half, per-lane partial pivoting.
+
+    The augmented foot-split factor needs the pivot search for f32
+    robustness (`PdipmOptions.aug_pivot`); packing the two 12-wide foot
+    tableaus side by side keeps every augmented-tableau pass at full
+    sublane width while halving the lane count, and — the real win — the
+    stored inverse pair feeds the packed `K^-1` apply (full 24-sublane
+    tiles instead of two 16-padded 12-wide applies). Each half runs the
+    exact `_gj_inverse` recurrence with its own pivot choice and row
+    swaps (the halves' row orders evolve independently).
+    """
+    n = s_pair.shape[0]
+    bt = s_pair.shape[-1]
+    dt = s_pair.dtype
+    eye = jnp.eye(n, dtype=dt)[:, :, None]
+    aug = jnp.concatenate(
+        [s_pair[:, :n], jnp.broadcast_to(eye, (n, n, bt)),
+         s_pair[:, n:], jnp.broadcast_to(eye, (n, n, bt))], axis=1,
+    )  # (n, 4n, B): [A_L | I | A_R | I]
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+    colh = jax.lax.broadcasted_iota(jnp.int32, (1, 4 * n), 1)  # (1, 4n)
+    colv = jax.lax.broadcasted_iota(jnp.int32, (4 * n, 1), 0)  # (4n, 1)
+    hl_h = (colh < 2 * n).astype(dt)  # (1, 4n) left-tableau mask
+    hr_h = 1.0 - hl_h
+    hl_v = (colv < 2 * n).astype(dt)  # (4n, 1)
+    hr_v = 1.0 - hl_v
+
+    for k in range(n):
+        colL = jnp.abs(aug[:, k, :])  # (n, B)
+        colR = jnp.abs(aug[:, 2 * n + k, :])
+        cand_mask = row_idx >= k
+        pL = jnp.argmax(jnp.where(cand_mask, colL, -1.0), axis=0)  # (B,)
+        pR = jnp.argmax(jnp.where(cand_mask, colR, -1.0), axis=0)
+        ohL = (row_idx == pL[None, :]).astype(dt)  # (n, B)
+        ohR = (row_idx == pR[None, :]).astype(dt)
+        is_k = (row_idx == k)  # (n, 1)
+        isk_f = is_k.astype(dt)
+        row_k = aug[k]  # (4n, B)
+        row_pL = jnp.sum(ohL[:, None, :] * aug, axis=0)  # (4n, B)
+        row_pR = jnp.sum(ohR[:, None, :] * aug, axis=0)
+        # Combined swapped-in pivot row: L tableau cols from row pL, R
+        # tableau cols from row pR.
+        row_p = row_pL * hl_v + row_pR * hr_v  # (4n, B)
+        # Swap: row k <- row_p; rows pL/pR receive row_k's matching half.
+        swapmask = (ohL[:, None, :] * hl_h[:, :, None]
+                    + ohR[:, None, :] * hr_h[:, :, None])  # (n, 4n, B)
+        keep = (1.0 - isk_f)[:, :, None] * (1.0 - swapmask)
+        aug = (aug * keep
+               + isk_f[:, :, None] * row_p[None, :, :]
+               + swapmask * row_k[None, :, :])
+        pivL = row_p[k]  # (B,)
+        pivR = row_p[2 * n + k]
+        ipiv_cols = hl_v / pivL[None, :] + hr_v / pivR[None, :]  # (4n, B)
+        pivot_row = row_p * ipiv_cols  # (4n, B)
+        aug = jnp.where(is_k[:, :, None], pivot_row[None, :, :], aug)
+        f_l = (1.0 - isk_f) * aug[:, k, :]  # (n, B)
+        f_r = (1.0 - isk_f) * aug[:, 2 * n + k, :]
+        aug = (aug
+               - f_l[:, None, :] * (pivot_row * hl_v)[None, :, :]
+               - f_r[:, None, :] * (pivot_row * hr_v)[None, :, :])
+    # [L inverse | R inverse] packed (n, 2n, B)
+    return jnp.concatenate([aug[:, n: 2 * n], aug[:, 3 * n:]], axis=1)
+
+
 def _pdipm_kernel(
     horizon: int,
     opts: PdipmOptions,
@@ -625,21 +737,40 @@ def _pdipm_kernel(
     def _tile_lanes(x, n):
         return jnp.concatenate([x] * n, axis=-1)
 
-    def _split_bkb(k4L_inv_st, k4R_inv_st, cf):
-        """Bd (K^-1)_uu Bd^T from the foot-split pieces, lane-stacked."""
-        bdL4_st = _tile_lanes(_cols_L(bd), T)  # (12, 4, T*bt)
-        bdR4_st = _tile_lanes(_cols_R(bd), T)
-        bkb = _mm(_mm(bdL4_st, k4L_inv_st), jnp.swapaxes(bdL4_st, 0, 1)) \
-            + _mm(_mm(bdR4_st, k4R_inv_st), jnp.swapaxes(bdR4_st, 0, 1))
-        # W-independent scalar columns: c_j * bd_j bd_j^T, same every stage.
-        # Keepdims slices only (see `_pair_single_coeffs` layout note).
+    def _bkb_couter(cf):
+        """W-independent scalar columns: c_j * bd_j bd_j^T, same every
+        stage. Keepdims slices only (see `_pair_single_coeffs`)."""
         couter = None
         for j, c in ((6, cf["6"][0]), (8, cf["8"]),
                      (9, cf["9"][0]), (11, cf["11"])):
             bj = bd[:, j:j + 1, :]  # (12, 1, B)
             o = bj * jnp.swapaxes(bj, 0, 1) * c[None]  # c: (1, B)
             couter = o if couter is None else couter + o
-        return bkb + _tile_lanes(couter, T)
+        return _tile_lanes(couter, T)
+
+    def _split_bkb(k4L_inv_st, k4R_inv_st, cf):
+        """Bd (K^-1)_uu Bd^T from the foot-split pieces, lane-stacked."""
+        bdL4_st = _tile_lanes(_cols_L(bd), T)  # (12, 4, T*bt)
+        bdR4_st = _tile_lanes(_cols_R(bd), T)
+        bkb = _mm(_mm(bdL4_st, k4L_inv_st), jnp.swapaxes(bdL4_st, 0, 1)) \
+            + _mm(_mm(bdR4_st, k4R_inv_st), jnp.swapaxes(bdR4_st, 0, 1))
+        return bkb + _bkb_couter(cf)
+
+    def _split_bkb_pack(k8_st, cf):
+        """`_split_bkb` from the PACKED (4, 8, T*bt) [K_L^-1 | K_R^-1]
+        inverse pair: the dominant (12, 12, ...) outer contraction runs
+        over the packed 8-column axis in one full-sublane pass instead of
+        two 8-padded 4-wide passes."""
+        bdL4_st = _tile_lanes(_cols_L(bd), T)  # (12, 4, T*bt)
+        bdR4_st = _tile_lanes(_cols_R(bd), T)
+        # m1 = [Bd_L K_L^-1 | Bd_R K_R^-1]  (12, 8, T*bt)
+        m1 = jnp.concatenate(
+            [_mm(bdL4_st, k8_st[:, 0:4, :]), _mm(bdR4_st, k8_st[:, 4:8, :])],
+            axis=1)
+        bd_p = jnp.concatenate([bdL4_st, bdR4_st], axis=1)  # (12, 8, T*bt)
+        # bkb[i, l] = sum_j m1[i, j] bd_p[l, j] — one packed contraction.
+        bkb = jnp.sum(m1[:, None, :, :] * bd_p[None, :, :, :], axis=2)
+        return bkb + _bkb_couter(cf)
 
     def factor_ric_split(w_inv):
         """Foot-split "ric" factor: two lane-stacked 4-wide SPD inverses.
@@ -663,16 +794,53 @@ def _pdipm_kernel(
                 * w_s[t][8:16][:, None, None, :], axis=0)
             ksL.append(gtwgL + eye4 * (rL[:, None, :] + opts.beta))
             ksR.append(gtwgR + eye4 * (rR[:, None, :] + opts.beta))
-        # ONE 4-wide no-pivot GJ over [L stages | R stages] lanes (SPD).
-        k4_inv = gj_nopivot(jnp.concatenate(ksL + ksR, axis=-1))
-        L = T * bt
-        k4L_inv_st = k4_inv[..., :L]
-        k4R_inv_st = k4_inv[..., L:]
         cf = _pair_single_coeffs()
         c6 = tuple(_tile_lanes(c, T) for c in cf["6"])
         c9 = tuple(_tile_lanes(c, T) for c in cf["9"])
         c8 = _tile_lanes(cf["8"], T)
         c11 = _tile_lanes(cf["11"], T)
+
+        if opts.foot_pack:
+            if opts.foot_pack == "apply":
+                # Apply-only packing: keep the (measured-faster) lane-
+                # stacked GJ, then repack the stored inverses column-wise
+                # so every K^-1 apply runs at full sublane width.
+                k4_inv = gj_nopivot(jnp.concatenate(ksL + ksR, axis=-1))
+                L = T * bt
+                k8 = jnp.concatenate(
+                    [k4_inv[..., :L], k4_inv[..., L:]], axis=1)
+            else:
+                # Fully packed: ONE (4, 8, T*bt) paired no-pivot GJ — both
+                # feet share each elimination step at full tile occupancy.
+                pair = jnp.concatenate(
+                    [jnp.concatenate([kl, kr], axis=1)
+                     for kl, kr in zip(ksL, ksR)], axis=-1)  # (4, 8, T*bt)
+                k8 = _gj_pair_inplace(pair)
+
+            def kinv(r_st):  # (14, L) -> (14, L); keepdims rows (layout)
+                rhs8 = jnp.concatenate(
+                    [r_st[0:3], r_st[7:8], r_st[3:6], r_st[10:11]], axis=0)
+                prod = k8 * rhs8[None, :, :]  # (4, 8, L) full sublanes
+                duL4 = jnp.sum(prod[:, 0:4, :], axis=1)  # (4, L)
+                duR4 = jnp.sum(prod[:, 4:8, :], axis=1)
+                du6 = c6[0] * r_st[6:7] + c6[1] * r_st[12:13]
+                dn0 = c6[1] * r_st[6:7] + c6[2] * r_st[12:13]
+                du9 = c9[0] * r_st[9:10] + c9[1] * r_st[13:14]
+                dn1 = c9[1] * r_st[9:10] + c9[2] * r_st[13:14]
+                return jnp.concatenate([
+                    duL4[0:3], duR4[0:3], du6, duL4[3:4],
+                    c8 * r_st[8:9], du9, duR4[3:4],
+                    c11 * r_st[11:12], dn0, dn1,
+                ], axis=0)
+
+            bkb_st = _split_bkb_pack(k8, cf)
+            return (kinv,) + _ric_tail_bkb(bkb_st)
+
+        # ONE 4-wide no-pivot GJ over [L stages | R stages] lanes (SPD).
+        k4_inv = gj_nopivot(jnp.concatenate(ksL + ksR, axis=-1))
+        L = T * bt
+        k4L_inv_st = k4_inv[..., :L]
+        k4R_inv_st = k4_inv[..., L:]
 
         def kinv(r_st):  # (14, L) -> (14, L); keepdims rows only (layout)
             duL4 = _mv(k4L_inv_st, jnp.concatenate(
@@ -721,37 +889,79 @@ def _pdipm_kernel(
 
         ksL = foot_blocks(guL4, rL, [w_s[t][0:8] for t in range(T)])
         ksR = foot_blocks(guR4, rR, [w_s[t][8:16] for t in range(T)])
-        aug_gj = _gj_inverse if opts.aug_pivot else gj_nopivot
-        ka_inv = aug_gj(jnp.concatenate(ksL + ksR, axis=-1))  # (12,12,2T*bt)
-        L = T * bt
-        kaL_inv_st = ka_inv[..., :L]
-        kaR_inv_st = ka_inv[..., L:]
         cf = _pair_single_coeffs()
         c6 = tuple(_tile_lanes(c, T) for c in cf["6"])
         c9 = tuple(_tile_lanes(c, T) for c in cf["9"])
         c8 = _tile_lanes(cf["8"], T)
         c11 = _tile_lanes(cf["11"], T)
 
-        def kinv(r_st):  # (30, L) -> (30, L); rows [u(12), z(16), nu(2)];
-            # keepdims rows only (see `_pair_single_coeffs` layout note)
-            wL = _mv(kaL_inv_st, jnp.concatenate(
-                [r_st[0:3], r_st[7:8], r_st[12:20]], axis=0))
-            wR = _mv(kaR_inv_st, jnp.concatenate(
-                [r_st[3:6], r_st[10:11], r_st[20:28]], axis=0))
-            du6 = c6[0] * r_st[6:7] + c6[1] * r_st[28:29]
-            dn0 = c6[1] * r_st[6:7] + c6[2] * r_st[28:29]
-            du9 = c9[0] * r_st[9:10] + c9[1] * r_st[29:30]
-            dn1 = c9[1] * r_st[9:10] + c9[2] * r_st[29:30]
-            return jnp.concatenate([
-                wL[0:3], wR[0:3], du6, wL[3:4],
-                c8 * r_st[8:9], du9, wR[3:4],
-                c11 * r_st[11:12],
-                wL[4:12], wR[4:12], dn0, dn1,
-            ], axis=0)
+        def kinv_from(apply_lr):
+            """Common assembly from (rhs_L12, rhs_R12) -> (wL, wR)."""
+            def kinv(r_st):  # (30, L) -> (30, L); rows [u(12), z(16),
+                # nu(2)]; keepdims rows only (`_pair_single_coeffs` note)
+                rhsL = jnp.concatenate(
+                    [r_st[0:3], r_st[7:8], r_st[12:20]], axis=0)
+                rhsR = jnp.concatenate(
+                    [r_st[3:6], r_st[10:11], r_st[20:28]], axis=0)
+                wL, wR = apply_lr(rhsL, rhsR)
+                du6 = c6[0] * r_st[6:7] + c6[1] * r_st[28:29]
+                dn0 = c6[1] * r_st[6:7] + c6[2] * r_st[28:29]
+                du9 = c9[0] * r_st[9:10] + c9[1] * r_st[29:30]
+                dn1 = c9[1] * r_st[9:10] + c9[2] * r_st[29:30]
+                return jnp.concatenate([
+                    wL[0:3], wR[0:3], du6, wL[3:4],
+                    c8 * r_st[8:9], du9, wR[3:4],
+                    c11 * r_st[11:12],
+                    wL[4:12], wR[4:12], dn0, dn1,
+                ], axis=0)
+            return kinv
+
+        if opts.foot_pack:
+            # Sublane-packed: every K^-1 apply becomes a full-24-sublane
+            # product instead of two 16-padded 12-wide matvecs. Two
+            # factor routes: foot_pack="apply" keeps the lane-stacked GJ
+            # and just repacks its result column-wise; foot_pack=True
+            # also pairs the GJ itself ((12, 24, T*bt) tableau, per-half
+            # pivot search when aug_pivot) — measured slower (BENCH.md
+            # round 3), kept as the tested full-pack variant.
+            if opts.foot_pack == "apply":
+                aug_gj = _gj_inverse if opts.aug_pivot else gj_nopivot
+                ka_inv = aug_gj(jnp.concatenate(ksL + ksR, axis=-1))
+                L = T * bt
+                ka_pack = jnp.concatenate(
+                    [ka_inv[..., :L], ka_inv[..., L:]], axis=1)
+            else:
+                pair = jnp.concatenate(
+                    [jnp.concatenate([kl, kr], axis=1)
+                     for kl, kr in zip(ksL, ksR)], axis=-1)  # (12,24,T*bt)
+                ka_pack = (
+                    _gj_pair_pivot(pair) if opts.aug_pivot
+                    else _gj_pair_inplace(pair)
+                )  # (12, 24, T*bt) = [K_L^-1 | K_R^-1]
+
+            def apply_lr(rhsL, rhsR):
+                rhs24 = jnp.concatenate([rhsL, rhsR], axis=0)  # (24, L)
+                prod = ka_pack * rhs24[None, :, :]  # (12, 24, L)
+                return (jnp.sum(prod[:, 0:12, :], axis=1),
+                        jnp.sum(prod[:, 12:24, :], axis=1))
+
+            k8_like = jnp.concatenate(
+                [ka_pack[0:4, 0:4, :], ka_pack[0:4, 12:16, :]], axis=1)
+            bkb_st = _split_bkb_pack(k8_like, cf)
+            return (kinv_from(apply_lr),) + _ric_tail_bkb(bkb_st)
+
+        aug_gj = _gj_inverse if opts.aug_pivot else gj_nopivot
+        ka_inv = aug_gj(jnp.concatenate(ksL + ksR, axis=-1))  # (12,12,2T*bt)
+        L = T * bt
+        kaL_inv_st = ka_inv[..., :L]
+        kaR_inv_st = ka_inv[..., L:]
+
+        def apply_lr(rhsL, rhsR):
+            return _mv(kaL_inv_st, rhsL), _mv(kaR_inv_st, rhsR)
 
         bkb_st = _split_bkb(
             kaL_inv_st[0:4, 0:4], kaR_inv_st[0:4, 0:4], cf)
-        return (kinv,) + _ric_tail_bkb(bkb_st)
+        return (kinv_from(apply_lr),) + _ric_tail_bkb(bkb_st)
 
     def factor_ric2(w_inv):
         """Rank-2 variant of `factor_ric`: the 2-wide nu block (diagonal
@@ -1362,6 +1572,15 @@ def _to_batch_last(qp: StageQP) -> _BatchedQP:
     )
 
 
+def _interpret_default() -> bool:
+    """Mosaic TC kernels only exist on TPU backends; everywhere else
+    (CPU test meshes, the driver's virtual-device multichip dryrun) the
+    kernels run under the Pallas interpreter automatically — same
+    algorithm, platform-independent lowering — so every caller (sharded
+    controller steps included) works unmodified off-TPU."""
+    return jax.default_backend() == "cpu"
+
+
 def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
           tile: int = 128, state=None) -> PdipmResult:
     """Batched PDIPM via the fused Pallas kernel.
@@ -1402,9 +1621,12 @@ def _tile_and_pad(batch: int, tile: int):
     sub-128-lane tiles mis-align the kernel's lane-concatenation offsets
     and Mosaic rejects them ("result/input offset mismatch on non-concat
     dimension", hit at batch 8 on v5e), and the VPU computes full
-    128-lane vectors regardless, so padding costs no time. Callers that
-    want genuinely smaller tiles (interpret-mode tests) pass `tile`
-    explicitly."""
+    128-lane vectors regardless, so padding costs no time. Under the
+    interpreter (non-TPU backends) no lane-alignment constraint exists
+    and padding IS real work, so the tile shrinks to the batch there;
+    callers can still pass an explicit smaller `tile`."""
+    if _interpret_default():
+        tile = max(1, min(tile, batch))
     return tile, (-batch) % tile
 
 
@@ -1481,6 +1703,7 @@ def _solve_bl(data: _BatchedQP, horizon: int, opts: PdipmOptions,
             # it is the semantically correct annotation.)
             dimension_semantics=("parallel",),
         ),
+        interpret=_interpret_default(),
     )(*inputs)
     return x, s, z, y, res
 
@@ -1488,7 +1711,7 @@ def _solve_bl(data: _BatchedQP, horizon: int, opts: PdipmOptions,
 def solve_hybrid(
     qp: StageQP,
     opts: PdipmOptions = PdipmOptions(),
-    budget: int = 128,
+    budget: int = 0,
     flag_tol: float = 1.0,
     tile: int = 128,
     aug_opts: PdipmOptions | None = None,
@@ -1497,22 +1720,46 @@ def solve_hybrid(
 
     The f32 condensed kernels ("ric"/"ric2") carry a GRF error tail on
     near-degenerate contact-switch QPs (the G^T W^-1 G condensation loses
-    the small scales at assembly — BENCH.md "f32 accuracy"); the augmented
-    kernel ("ric_aug") is robust but ~3x the cost. This runs the fast path
-    on the whole batch, flags envs whose final KKT residual criterion
-    max(||rx||, ||rs||, ||re||, mu) exceeds `flag_tol` (measured to
-    correlate with the error tail — see BENCH.md "hybrid flag"), and
-    re-solves AT MOST `budget` flagged envs (the worst by criterion) with
-    the augmented kernel from the reference cold start. Costs one fast
-    full-batch solve + one budget-sized robust solve: ~1.2x the fast path
-    at batch 4096 instead of 3x for augmented-everywhere.
+    the small scales at assembly — BENCH.md "f32 accuracy") and NaN on
+    ~0.65% of envs under full domain randomization (BENCH.md randomized
+    sweep); the augmented kernel ("ric_aug") is robust but ~1.6x the cost.
+    This runs the fast path on the whole batch, flags envs whose final KKT
+    residual criterion max(||rx||, ||rs||, ||re||, mu) exceeds `flag_tol`
+    OR is non-finite OR whose solution is non-finite, and re-solves AT
+    MOST `budget` flagged envs (the worst by criterion) with the augmented
+    kernel from the reference cold start. Costs one fast full-batch solve
+    + one budget-sized robust solve (measured 33.7 vs 29.8 ms at batch
+    4096, ~1.13x, vs 47.9 ms for augmented-everywhere).
 
-    Role reference: the accuracy class of the f64 augmented factorization
-    (`sparse_pdipm_solver.py:404-439`) at condensed-kernel speed.
+    What this buys — MEASURED, BENCH.md "hybrid flag": a **finiteness
+    guarantee** (100% finite at batch 32768 under domain randomization,
+    where the bare fast path NaNs on 0.6-0.7% of envs — non-finite
+    criteria/solutions rank +inf and are re-solved unconditionally) and
+    repair of the worst-criterion divergent envs. What it does NOT buy:
+    the augmented kernel's accuracy class — the residual criterion does
+    not separate the fast path's f32 condensation error tail (12.9% of
+    randomized envs differ >1 N from the augmented anchor; Spearman
+    criterion-vs-error <= 0.64), so sub-Newton tails cannot be certified
+    at speed-mode cost. For robust accuracy use backend="ric_aug".
+
+    budget <= 0 selects the auto size max(64, batch // 32): ~3.1% of the
+    batch, ~5x the measured 0.65-0.73% randomized-domain non-finite rate
+    of the condensed speed mode. A fixed positive budget is honored.
     """
     batch = qp.f.shape[0]
+    if budget is None or budget <= 0:
+        budget = max(64, batch // 32)
     res = solve(qp, opts, tile)
     crit = jnp.max(res.residuals, axis=1)  # (B,)
+    # Non-finite envs must ALWAYS be flagged. Two distinct holes, both
+    # closed by ranking them as +inf: (a) a NaN criterion fails every
+    # comparison, so a plain `vals > flag_tol` gate would silently KEEP
+    # the broken fast-path solution (runtime-confirmed by the round-2
+    # review); (b) the stored residuals are evaluated at the START of the
+    # final Newton step, so a last-step blow-up can leave a finite
+    # criterion around a non-finite solution — check x directly.
+    x_ok = jnp.all(jnp.isfinite(res.x), axis=1)  # (B,)
+    crit = jnp.where(jnp.isfinite(crit) & x_ok, crit, jnp.inf)
     k = min(budget, batch)
     vals, idx = jax.lax.top_k(crit, k)
     qp_bad = jax.tree.map(lambda a: a[idx], qp)
@@ -1520,7 +1767,10 @@ def solve_hybrid(
         backend="ric_aug", aug_pivot=True
     )
     res_aug = solve(qp_bad, aug, tile)
-    need = vals > flag_tol  # (k,)
+    # Gate: above tolerance, or non-finite (+inf after the ranking map,
+    # never NaN here). The isinf term makes broken envs unconditionally
+    # rescued even at flag_tol=inf ("tolerance off" still repairs NaNs).
+    need = (vals > flag_tol) | jnp.isinf(vals)  # (k,)
 
     def merge(a, b):
         sel = need.reshape((k,) + (1,) * (b.ndim - 1))

@@ -96,13 +96,49 @@ def shard_map_step(step_fn, mesh: Mesh, with_metrics: bool = True):
             return new_state, tau, mpc_out, global_mean_cost
         return out
 
-    mapped = shard_map(
-        body,
-        mesh=mesh,
-        in_specs=spec,
-        out_specs=(spec, spec, spec, P()) if with_metrics else spec,
-    )
+    out_specs = (spec, spec, spec, P()) if with_metrics else spec
+    try:
+        # check_vma=False: a pallas_call body cannot annotate its outputs'
+        # varying-across-mesh-axes metadata, which strict VMA checking
+        # (jax >= 0.7 default) requires of every ShapeDtypeStruct.
+        mapped = shard_map(
+            body, mesh=mesh, in_specs=spec, out_specs=out_specs,
+            check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax: check_rep spelling
+        mapped = shard_map(
+            body, mesh=mesh, in_specs=spec, out_specs=out_specs,
+            check_rep=False,
+        )
     return jax.jit(mapped)
+
+
+def controller_step(core, mesh: Mesh, with_metrics: bool = False):
+    """The blessed sharded control step for a `BipedControllerCore`.
+
+    Pure-JAX solver backends go through GSPMD (`sharded_step`): the whole
+    step is elementwise in the batch axis, so XLA partitions it with zero
+    collectives (verified by the HLO check in `bench_mesh.py`).
+
+    The Pallas kernel backends go through `shard_map` instead: a
+    `pallas_call` lowers to a TPU custom call for which GSPMD has no
+    partitioning rule, so under a plain sharding constraint XLA may
+    replicate the kernel at FULL batch on every device (or fail to
+    propagate the sharding) — exactly the failure the zero-collective
+    check cannot see because it never compiles the kernel. The per-device
+    `shard_map` body sidesteps the question by construction: each device
+    runs the kernel on its own batch shard (`pallas_call` grid
+    batch/tile per shard), which is the behavior sharding is meant to
+    buy. Equivalence is pinned by
+    `tests/test_controller.py::test_sharded_pallas_step_matches_single_device`
+    and exercised by the driver dryrun (`__graft_entry__.dryrun_multichip`).
+    """
+    fn = lambda st, o, tw, h: core.control_step(st, o, tw, h)
+    if core.mpc_cfg.solver.startswith("pallas"):
+        return shard_map_step(fn, mesh, with_metrics=with_metrics)
+    if with_metrics:
+        return shard_map_step(fn, mesh, with_metrics=True)
+    return sharded_step(fn, mesh)
 
 
 def metrics_summary(values: jnp.ndarray, mesh: Mesh):

@@ -247,6 +247,43 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("solver", ["pallas_ric_aug", "pallas_ric"])
+def test_sharded_pallas_step_matches_single_device(solver):
+    """The shipped Pallas kernel under mesh sharding (round-2 verdict item
+    1): the `controller_step`-routed (shard_map) control step with the
+    Pallas backends equals the unsharded step. On the CPU test mesh the
+    kernels run under the Pallas interpreter automatically
+    (`pdipm_pallas._interpret_default`); each device's `pallas_call` sees
+    only its 2-env shard, which is exactly the partitioning the TPU
+    deployment relies on."""
+    from biped_pympc_tpu.control.controller import BipedControllerCore
+    from biped_pympc_tpu.parallel import mesh as pmesh
+
+    assert jax.device_count() >= 8, "conftest sets 8 virtual CPU devices"
+    cfg = MPCConf(solver=solver, newton_iterations=4, verbose=False)
+    core = BipedControllerCore(ControllerConf(), cfg, gait_id=2)
+    B = 16
+    state = core.init_state(B)
+    obs = jnp.asarray(_hector_obs(B))
+    twist = jnp.zeros((B, 3), jnp.float32).at[:, 0].set(0.2)
+    height = jnp.full((B,), 0.55, jnp.float32)
+
+    _, tau_single, out_single = core.control_step(state, obs, twist, height)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    step = pmesh.controller_step(core, mesh)
+    _, tau_sm, out_sm = step(core.init_state(B), obs, twist, height)
+
+    assert np.isfinite(np.asarray(tau_sm)).all()
+    np.testing.assert_allclose(
+        np.asarray(tau_sm), np.asarray(tau_single), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sm.wrench), np.asarray(out_single.wrench), atol=1e-4
+    )
+
+
+@pytest.mark.slow
 def test_shard_map_step_matches_single_device():
     """The explicit-SPMD (shard_map) step equals the unsharded one, with the
     pmean-reduced global metric matching the batch mean."""

@@ -258,6 +258,86 @@ def test_pallas_hybrid_merge_logic(interpret_pallas):
                 np.asarray(hyb_b2.x[i]), np.asarray(fast.x[i]))
 
 
+@pytest.mark.parametrize("backend", ["ric", "ric_aug"])
+def test_pallas_foot_pack_matches_unpacked(interpret_pallas, backend):
+    """Sublane packing (foot_pack) is a pure layout change: the paired
+    Gauss-Jordan runs the same per-half recurrence with the same pivot
+    choices, so at f64 it must match the lane-stacked foot-split kernel
+    to roundoff (summation-order differences only in the packed bkb
+    contraction), and stay close to the pure-JAX reference."""
+    qs = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(
+        backend=backend, refine_steps=1, iterations=3, foot_split=True)
+    res_unpacked = pp.solve(batch, opts, tile=4)
+    res_packed = pp.solve(batch, opts._replace(foot_pack=True), tile=4)
+    np.testing.assert_allclose(
+        np.asarray(res_packed.x), np.asarray(res_unpacked.x),
+        rtol=1e-11, atol=1e-11)
+    np.testing.assert_allclose(
+        np.asarray(res_packed.z), np.asarray(res_unpacked.z),
+        rtol=1e-11, atol=1e-11)
+    # Apply-only packing (foot_pack="apply"): same lane-stacked GJ, the
+    # stored inverse repacked column-wise — identical up to the packed
+    # apply's reduction order.
+    res_pa = pp.solve(batch, opts._replace(foot_pack="apply"), tile=4)
+    np.testing.assert_allclose(
+        np.asarray(res_pa.x), np.asarray(res_unpacked.x),
+        rtol=1e-11, atol=1e-11)
+    if backend == "ric_aug":
+        # The no-pivot paired form too (aug_pivot=False diagnostics path).
+        res_np = pp.solve(
+            batch, opts._replace(foot_pack=True, aug_pivot=False), tile=4)
+        res_np_u = pp.solve(batch, opts._replace(aug_pivot=False), tile=4)
+        np.testing.assert_allclose(
+            np.asarray(res_np.x), np.asarray(res_np_u.x),
+            rtol=1e-11, atol=1e-11)
+
+
+def test_pallas_hybrid_nan_rescue(interpret_pallas, monkeypatch):
+    """A non-finite fast-path env is ALWAYS re-solved (round-2 review fix):
+    both failure shapes — NaN residual criterion, and finite criterion
+    around a NaN solution (last-step blow-up) — must come back as the
+    augmented result, even with the tolerance gate disabled (flag_tol=inf).
+    """
+    qs = [_make_qp(seed=s, dtype=jnp.float32, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="ric", refine_steps=1, iterations=2)
+    aug = opts._replace(backend="ric_aug", aug_pivot=True)
+    fast = pp.solve(batch, opts, tile=4)
+    robust = pp.solve(batch, aug, tile=4)
+
+    orig_solve = pp.solve
+
+    def poisoned(qp, o=pdipm.PdipmOptions(), tile=128, state=None):
+        res = orig_solve(qp, o, tile, state)
+        if qp.f.shape[0] == 4 and o.backend == "ric":
+            # env 1: NaN solution under a finite residual criterion;
+            # env 2: NaN residual criterion.
+            res = res._replace(
+                x=res.x.at[1].set(jnp.nan),
+                residuals=res.residuals.at[2].set(jnp.nan),
+            )
+        return res
+
+    monkeypatch.setattr(pp, "solve", poisoned)
+    hyb = pp.solve_hybrid(batch, opts, budget=2, flag_tol=np.inf, tile=4)
+    assert np.isfinite(np.asarray(hyb.x)).all()
+    for i in (1, 2):  # rescued with the augmented solution
+        np.testing.assert_allclose(
+            np.asarray(hyb.x[i]), np.asarray(robust.x[i]), atol=1e-5)
+    for i in (0, 3):  # untouched envs keep the fast path bitwise
+        np.testing.assert_array_equal(
+            np.asarray(hyb.x[i]), np.asarray(fast.x[i]))
+
+    # Auto budget (budget=0 -> max(64, B//32), clamped to the batch): with
+    # flag_tol=-1 every env is re-solved, i.e. the augmented result.
+    monkeypatch.setattr(pp, "solve", orig_solve)
+    hyb_auto = pp.solve_hybrid(batch, opts, budget=0, flag_tol=-1.0, tile=4)
+    np.testing.assert_array_equal(
+        np.asarray(hyb_auto.x), np.asarray(robust.x))
+
+
 def test_pallas_foot_split_matches_dense(interpret_pallas):
     """Foot-split kernel factors == dense kernel factors at f64 roundoff
     (exact block-diagonal decomposition; different summation order only)."""
