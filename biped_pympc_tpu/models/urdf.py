@@ -37,6 +37,17 @@ _AXES = {
     (0.0, 0.0, 1.0): "z",
 }
 
+# Vendored kinematics-only T1 model (derived projection of the reference's
+# in-repo asset `model/t1_serial.urdf`; regenerate with
+# `tools/derive_urdf_fixture.py`). Lets a standalone checkout run the
+# parser and regenerate the T1 chain constants without the reference tree.
+import os as _os
+
+T1_FIXTURE_URDF = _os.path.join(
+    _os.path.dirname(_os.path.abspath(__file__)), "assets",
+    "t1_kinematics.urdf",
+)
+
 
 def _vec3(s: str | None) -> np.ndarray:
     if not s:
