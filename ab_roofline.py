@@ -189,23 +189,28 @@ def flop_model(T=10, refine=1):
     out["ricaug_split"] = (resid + kfac_as + bkb_as + tail(True)
                            + n_solves * solve_cost(kapp_as)
                            + n_applies * op_apply)
+    # Packed forms: identical arithmetic (layout-only change), so the same
+    # flop model — their occupancy, not their flops, is what moves.
+    out["ric_split_pack"] = out["ric_split"]
+    out["ricaug_split_pack"] = out["ricaug_split"]
     return {k: 2 * v for k, v in out.items()}  # fma -> flops
 
 
 def main():
     import sys
 
-    from bench_common import make_chained, make_qp_batch
+    from bench_common import make_chained, make_emitter, make_qp_batch
     from biped_pympc_tpu.ops import pdipm, pdipm_pallas
     from biped_pympc_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
 
+    emit = make_emitter("ab_roofline", {"argv": sys.argv[1:]})
     ceil = measure_vpu_roofline()
-    print(json.dumps({
+    emit({
         "vpu_f32_fma_peak_tflops": round(ceil["fma_peak"] / 1e12, 3),
         "vpu_f32_stream_tflops": round(ceil["stream"] / 1e12, 3),
-    }), flush=True)
+    })
     peak = ceil["fma_peak"]
     if "--ceil-only" in sys.argv:
         return
@@ -220,6 +225,13 @@ def main():
         "ricaug_dense": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1),
         "ricaug_split": pdipm.PdipmOptions(backend="ric_aug", refine_steps=1,
                                            foot_split=True),
+        # Round-3 sublane-packed forms (same flop model as the unpacked
+        # split — packing changes layout, not arithmetic).
+        "ric_split_pack": pdipm.PdipmOptions(
+            backend="ric", refine_steps=1, foot_split=True, foot_pack=True),
+        "ricaug_split_pack": pdipm.PdipmOptions(
+            backend="ric_aug", refine_steps=1, foot_split=True,
+            foot_pack=True),
     }.items():
         fn = make_chained(lambda q, o=opts: pdipm_pallas.solve(q, o), 10)
         np.asarray(fn(qp))
@@ -230,14 +242,14 @@ def main():
             ts.append((time.perf_counter() - t0) / 10)
         t = float(np.median(ts))
         flops = model[name] * 20 * batch  # 20 iterations
-        print(json.dumps({
+        emit({
             "variant": name,
             "ms_per_20iter_b4096": round(1e3 * t, 2),
             "model_flops_per_env_iter": model[name],
             "sustained_tflops": round(flops / t / 1e12, 3),
             "util_vs_fma_peak": round(flops / t / peak, 3),
             "util_vs_stream": round(flops / t / ceil["stream"], 3),
-        }), flush=True)
+        })
 
 
 if __name__ == "__main__":

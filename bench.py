@@ -93,13 +93,30 @@ def main():
         n_dev = len(jax.devices())
         assert batch % n_dev == 0, f"batch {batch} % devices {n_dev} != 0"
 
-    @jax.jit
-    def chain(st):
+    def chain_body(st):
         def body(s, _):
             s2, out = core.run_mpc(s)
             return s2, out.grf_world[:, 2].sum()
         _, outs = jax.lax.scan(body, st, None, length=chain_len)
         return outs
+
+    if mesh is not None and mpc_cfg.solver.startswith("pallas"):
+        # The blessed Pallas multi-chip route (parallel/mesh.controller_step
+        # rationale): shard_map runs the kernel per device on its own batch
+        # shard — GSPMD has no partitioning rule for a pallas_call, so the
+        # plain-jit route could silently replicate it at full batch.
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(pmesh.DATA_AXIS)
+        chain = jax.jit(shard_map(
+            chain_body, mesh=mesh, in_specs=spec, out_specs=spec,
+            check_vma=False))
+    else:
+        chain = jax.jit(chain_body)
 
     t0 = time.perf_counter()
     try:
@@ -120,14 +137,7 @@ def main():
             gait_phase=jnp.asarray(rng.uniform(0, 1, batch).astype(np.float32))
         )
 
-        @jax.jit
-        def chain(st):
-            def body(s, _):
-                s2, out = core.run_mpc(s)
-                return s2, out.grf_world[:, 2].sum()
-            _, outs = jax.lax.scan(body, st, None, length=chain_len)
-            return outs
-
+        chain = jax.jit(chain_body)
         _ = np.asarray(chain(state))
     compile_s = time.perf_counter() - t0
 
@@ -161,16 +171,24 @@ def main():
             "solver": mpc_cfg.solver,
             "note": "chained-scan timing; vs_baseline = rate / (4096 envs x "
                     "100 Hz x 4 launches), the real-time requirement "
-                    "BASELINE.json budgets for a v5e-16. Round 2: the "
-                    "default solver is now the ROBUST-accuracy augmented "
-                    "foot-split kernel (f32 GRF max err 0.29 N vs f64 "
-                    "golden on the stress set; the round-1 headline solver "
-                    "pallas_ric carried 4-162 N tails). Speed mode "
-                    "pallas_ric+foot_split: 29.6 ms solver-only at b4096 "
-                    "= ~550k solves/s (BENCH.md round-2 table).",
+                    "BASELINE.json budgets for a v5e-16. Default solver: "
+                    "the ROBUST-accuracy augmented foot-split kernel (f32 "
+                    "GRF max err 0.29 N vs f64 golden on the stress set). "
+                    "Round 3: sublane packing of the split blocks measured "
+                    "NEGATIVE (BENCH.md 'Sublane packing'); speed mode "
+                    "with a finiteness guarantee is pallas_hybrid (33.7 ms "
+                    "solver-only at b4096 = 486k units/s, 100% finite at "
+                    "b32768 randomized, NOT robust-accuracy — BENCH.md "
+                    "'hybrid flag'); bare pallas_ric is quarantined for "
+                    "randomized domains (0.6-0.7% silent NaNs).",
         },
     }
-    print(json.dumps(result))
+    # Prints the ONE stdout JSON line the driver parses AND appends it to
+    # results/bench.jsonl (machine-readable round-over-round artifact).
+    from bench_common import make_emitter
+
+    emit = make_emitter("bench", {"argv": sys.argv[1:]})
+    emit(result)
 
 
 if __name__ == "__main__":

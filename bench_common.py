@@ -148,3 +148,41 @@ def make_chained(solve_fn, chain):
         out, _ = jax.lax.scan(body, jnp.zeros_like(q.f), None, length=chain)
         return out[:, 0].sum()
     return chained
+
+
+def make_emitter(harness: str, params: dict | None = None,
+                 results_dir: str | None = None):
+    """JSON-line sink for measurement harnesses: prints each record AND
+    appends it to `results/<harness>.jsonl`.
+
+    This is the reference's offline sweep-export role
+    (`cusadi/run_benchmarks.py:91-96` saves `.mat` for the MATLAB plots) in
+    a diffable, machine-readable form: each run appends one `{"run": ...}`
+    header (UTC timestamp + harness parameters) followed by its records, so
+    round-over-round regressions diff without parsing BENCH.md prose.
+    BENCH.md tables cite these artifacts.
+    """
+    import json
+    import os
+    import time
+
+    d = results_dir or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results")
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{harness}.jsonl")
+    f = open(path, "a")
+    header = {
+        "run": harness,
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "params": dict(params or {}),
+    }
+    f.write(json.dumps(header) + "\n")
+    f.flush()
+
+    def emit(obj: dict) -> None:
+        line = json.dumps(obj)
+        print(line, flush=True)
+        f.write(line + "\n")
+        f.flush()
+
+    return emit

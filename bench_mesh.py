@@ -23,7 +23,8 @@ import subprocess
 import sys
 
 
-def child(n_dev: int, per_dev: int, chain: int) -> None:
+def child(n_dev: int, per_dev: int, chain: int,
+          solver: str = "ric") -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -38,10 +39,16 @@ def child(n_dev: int, per_dev: int, chain: int) -> None:
 
     assert len(jax.devices()) == n_dev, (jax.devices(), n_dev)
     batch = n_dev * per_dev
-    # Pure-JAX two-level backend (the Pallas kernels are Mosaic/TPU-only;
-    # the sharding/collective structure under test is identical).
+    # Default: the pure-JAX two-level backend under GSPMD. --solver
+    # pallas_* routes the SHIPPED Pallas kernel through shard_map instead
+    # (see parallel/mesh.controller_step: no GSPMD partitioning rule
+    # exists for a pallas_call); on these virtual CPU devices the kernel
+    # runs under the Pallas interpreter, so its --solver timings measure
+    # interpreter overhead, not the TPU kernel — use it for the
+    # structural sharding evidence (per-shard kernel + zero collectives),
+    # and bench.py on hardware for the per-chip rate.
     core = BipedControllerCore(
-        ControllerConf(), MPCConf(solver="ric", verbose=False), gait_id=2
+        ControllerConf(), MPCConf(solver=solver, verbose=False), gait_id=2
     )
     state = core.init_state(batch)
     rng = np.random.default_rng(0)
@@ -65,13 +72,31 @@ def child(n_dev: int, per_dev: int, chain: int) -> None:
     mesh = pmesh.make_mesh()
     state = pmesh.shard_state(state, mesh)
 
-    @jax.jit
-    def chained(st):
+    def chained_body(st):
         def body(s, _):
             s2, out = core.run_mpc(s)
             return s2, out.grf_world[:, 2].sum()
         _, outs = jax.lax.scan(body, st, None, length=chain)
         return outs
+
+    if solver.startswith("pallas"):
+        # shard_map route (the blessed Pallas multi-chip path): each
+        # device's kernel runs on its own shard by construction.
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(pmesh.DATA_AXIS)
+        wrap = lambda f, out_specs: jax.jit(shard_map(
+            f, mesh=mesh, in_specs=spec, out_specs=out_specs,
+            check_vma=False))  # pallas_call outputs carry no VMA metadata
+        chained = wrap(chained_body, spec)
+        bare_step = wrap(lambda s: core.run_mpc(s), spec)
+    else:
+        chained = jax.jit(chained_body)
+        bare_step = jax.jit(lambda s: core.run_mpc(s))
 
     # Structural communication-freedom evidence: the compiled SPMD module
     # for the bare sharded MPC step (assembly + batched PDIPM + postprocess,
@@ -81,7 +106,6 @@ def child(n_dev: int, per_dev: int, chain: int) -> None:
     # linear — checkable even where the host lacks the cores to demonstrate
     # it (virtual CPU devices share physical cores; the timing harness's
     # own scalar sync-sum does introduce an all-reduce, excluded here).
-    bare_step = jax.jit(lambda s: core.run_mpc(s))
     hlo = bare_step.lower(state).compile().as_text()
     n_coll = sum(hlo.count(op) for op in
                  ("all-reduce", "all-gather", "reduce-scatter",
@@ -96,6 +120,7 @@ def child(n_dev: int, per_dev: int, chain: int) -> None:
     p50 = float(np.median(times))
     print(json.dumps({
         "devices": n_dev, "per_device_batch": per_dev, "batch": batch,
+        "solver": solver,
         "ms_per_solve": round(1e3 * p50, 2),
         "solves_per_s": round(batch * (20 / 5.0) / p50, 1),
         "hot_path_collectives": n_coll,
@@ -107,13 +132,19 @@ def main() -> None:
     ap.add_argument("--per-device-batch", type=int, default=64)
     ap.add_argument("--devices", type=str, default="1,2,4,8")
     ap.add_argument("--chain", type=int, default=5)
+    ap.add_argument("--solver", type=str, default="ric",
+                    help="MPCConf.solver; pallas_* routes through shard_map "
+                         "(interpret-mode kernels on CPU devices)")
     ap.add_argument("--child", type=int, default=0)
     args = ap.parse_args()
 
     if args.child:
-        child(args.child, args.per_device_batch, args.chain)
+        child(args.child, args.per_device_batch, args.chain, args.solver)
         return
 
+    from bench_common import make_emitter
+
+    emit = make_emitter("bench_mesh", vars(args))
     rows = []
     for n in [int(x) for x in args.devices.split(",")]:
         env = dict(os.environ)
@@ -125,7 +156,7 @@ def main() -> None:
         out = subprocess.run(
             [sys.executable, __file__, "--child", str(n),
              "--per-device-batch", str(args.per_device_batch),
-             "--chain", str(args.chain)],
+             "--chain", str(args.chain), "--solver", args.solver],
             env=env, capture_output=True, text=True, timeout=1800,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")]
@@ -134,10 +165,10 @@ def main() -> None:
             raise SystemExit(f"child {n} failed")
         row = json.loads(line[-1])
         rows.append(row)
-        print(json.dumps(row), flush=True)
+        emit(row)
 
     base = rows[0]["solves_per_s"] / rows[0]["devices"]
-    print(json.dumps({
+    emit({
         "weak_scaling": [
             {
                 "devices": r["devices"],
@@ -152,7 +183,7 @@ def main() -> None:
                 "meaningful only up to the core count; the structural "
                 "claim is hot_path_collectives == 0 (zero cross-device "
                 "communication compiled into the sharded step).",
-    }), flush=True)
+    })
 
 
 if __name__ == "__main__":

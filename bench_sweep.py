@@ -48,7 +48,11 @@ def main():
 
     enable_compilation_cache()
 
-    from bench_common import make_qp_batch, make_qp_batch_randomized
+    from bench_common import (
+        make_emitter, make_qp_batch, make_qp_batch_randomized,
+    )
+
+    emit = make_emitter("bench_sweep", vars(args))
 
     def timed_chain(qp, solve_fn, chain, reps):
         @jax.jit
@@ -110,7 +114,7 @@ def main():
                         "fz_p50_N": round(float(np.median(fz[fz > 1.0])), 1)
                         if (fz > 1.0).any() else 0.0,
                     }
-                print(json.dumps({
+                emit({
                     **extra,
                     "method": name, "batch": batch,
                     "horizon": args.horizon,
@@ -119,12 +123,12 @@ def main():
                     "solve_units_per_sec": round(batch * 4 / t, 1),
                     "compile_s": round(compile_s, 1),
                     "device": str(jax.devices()[0]),
-                }), flush=True)
+                })
             except Exception as e:  # pragma: no cover - runtime-specific
-                print(json.dumps({
+                emit({
                     "method": name, "batch": batch,
                     "error": f"{type(e).__name__}",
-                }), flush=True)
+                })
 
 
 if __name__ == "__main__":
