@@ -1,15 +1,15 @@
 """Persistent compilation cache helper.
 
-Cold-compile costs on the v5e runtime (round-2/3 measurements, BENCH.md
-"Compile time"): the shipped foot-split Pallas kernels take 13-23 s each;
-a full program that chains assembly + kernel + postprocess into scans
-(`bench.py`) costs minutes of XLA work on its first-ever run (~300 s
-measured cold in round 2 — the kernel is a minority of that; see the
-BENCH.md breakdown). The JAX persistent cache brings every repeat-process
-compile down to seconds (measured 330 s -> 16 s, including through a
-remote-compile tunnel), which is the practical answer to the reference's
-3-hour-per-variant compile problem: first build of a variant costs minutes
-once, then it is cached on disk.
+Cold-compile costs on the v5e runtime (round-3 breakdown, BENCH.md
+"Compile time", `results/ab_compile.jsonl`): the shipped foot-split
+Pallas kernels take 13-23 s each, and the FULL chained bench program is
+~20 s of genuine XLA+Mosaic compile (the scan body compiles once). The
+minutes sometimes observed on a first run (~300 s in round 2's bench
+log) are the shared TPU runtime's single-client claim-queue drain, not
+compilation. The JAX persistent cache brings every repeat-process
+compile down to seconds, which is the practical answer to the
+reference's 3-hour-per-variant compile problem: first build of a
+variant costs seconds-to-minutes once, then it is cached on disk.
 """
 
 from __future__ import annotations
