@@ -85,6 +85,15 @@ def main():
                                   foot_split=True)),
         "pallas_ric": lambda q: pdipm_pallas.solve(
             q, pdipm.PdipmOptions(backend="ric", refine_steps=1)),
+        # Round-3 finiteness-guaranteed speed mode (BENCH.md "hybrid
+        # flag"): fast foot-split everywhere + auto-budgeted augmented
+        # re-solve of the worst-criterion / non-finite envs.
+        "pallas_hybrid": lambda q: pdipm_pallas.solve_hybrid(
+            q, pdipm.PdipmOptions(backend="ric", refine_steps=1,
+                                  foot_split=True),
+            budget=0, flag_tol=1.0,
+            aug_opts=pdipm.PdipmOptions(backend="ric_aug", refine_steps=1,
+                                        foot_split=True)),
         "pallas": lambda q: pdipm_pallas.solve(
             q, pdipm.PdipmOptions(backend="tridiag", refine_steps=1)),
         "xla": jax.vmap(lambda q: pdipm.solve(

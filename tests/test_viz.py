@@ -46,3 +46,56 @@ def test_log_rollout_frame_shapes():
     assert grf.shape == (2, 3) and grm.shape == (2, 3)
     frames = SrbdFrames(*map(np.stack, zip(*[(pose, foot, grf, grm)] * 3)))
     assert frames.pose.shape == (3, 6)
+
+
+def test_plot_results_generates_figures(tmp_path):
+    """`tools/plot_results.py` (the reference's MATLAB-plotting role,
+    `cusadi/plotting/*.m`) renders figures from synthetic artifacts."""
+    pytest.importorskip("matplotlib")
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "plot_results",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "plot_results.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    d = tmp_path
+    rows = {
+        "bench_sweep.jsonl": [
+            {"method": "a", "batch": 256, "solve_units_per_sec": 1e5},
+            {"method": "a", "batch": 1024, "solve_units_per_sec": 2e5},
+            {"method": "b", "batch": 256, "solve_units_per_sec": 5e4},
+        ],
+        "bench_mesh.jsonl": [
+            {"solver": "ric", "devices": 1, "solves_per_s": 100.0},
+            {"solver": "ric", "devices": 8, "solves_per_s": 700.0},
+        ],
+        "ab_compile.jsonl": [
+            {"stage": "kernel", "lower_s": 1.0, "compile_s": 19.0},
+            {"stage": "chain20", "lower_s": 0.5, "compile_s": 20.0},
+        ],
+        "bench.jsonl": [
+            {"metric": "qp_solves_per_sec_chip", "value": 3e5,
+             "extra": {"solver": "pallas_ric_aug"}},
+        ],
+    }
+    for name, rs in rows.items():
+        with open(d / name, "w") as f:
+            for r in rs:
+                f.write(json.dumps(r) + "\n")
+    import sys
+
+    old = sys.argv
+    sys.argv = ["plot_results.py", "--results-dir", str(d)]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    for fig in ("sweep.png", "weak_scaling.png", "compile_breakdown.png",
+                "headline_history.png"):
+        p = d / "plots" / fig
+        assert p.exists() and p.stat().st_size > 5000, fig
