@@ -202,6 +202,11 @@ class BipedControllerCore:
                     height: jnp.ndarray) -> ControllerState:
         """twist: (B, 3) = [vx, vy, wz] body frame; height: (B,)
         (`biped_controller.py:92-95`)."""
+        # Cast to the controller dtype so callers can feed f32 buffers to
+        # an f64 controller (and vice versa) without poisoning the solver
+        # state's dtypes (loop carries must typecheck under jit).
+        twist = jnp.asarray(twist, dtype=self.dtype)
+        height = jnp.asarray(height, dtype=self.dtype)
         des = state.des._replace(
             velocity_b=state.des.velocity_b.at[:, :2].set(twist[:, :2]),
             ang_velocity_b=state.des.ang_velocity_b.at[:, 2].set(twist[:, 2]),
@@ -216,6 +221,7 @@ class BipedControllerCore:
         obs: (B, 13 + 3 * 2 * dof) = [pos(3), quat(4), v_b(3), w_b(3),
         q(2*dof), qd(2*dof), tau(2*dof)] (`mpc_wrapper.py:20-31`).
         """
+        obs = jnp.asarray(obs, dtype=self.dtype)  # see set_command note
         dof2 = 2 * self.num_dof
         position = obs[:, 0:3]
         quat = obs[:, 3:7]

@@ -247,7 +247,8 @@ def test_sharded_step_matches_single_device():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("solver", ["pallas_ric_aug", "pallas_ric"])
+@pytest.mark.parametrize(
+    "solver", ["pallas_ric_aug", "pallas_ric", "pallas_hybrid"])
 def test_sharded_pallas_step_matches_single_device(solver):
     """The shipped Pallas kernel under mesh sharding (round-2 verdict item
     1): the `controller_step`-routed (shard_map) control step with the
