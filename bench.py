@@ -176,9 +176,9 @@ def main():
                     "GRF max err 0.29 N vs f64 golden on the stress set). "
                     "Round 3: sublane packing of the split blocks measured "
                     "NEGATIVE (BENCH.md 'Sublane packing'); speed mode "
-                    "with a finiteness guarantee is pallas_hybrid (33.7 ms "
-                    "solver-only at b4096 = 486k units/s, 100% finite at "
-                    "b32768 randomized, NOT robust-accuracy — BENCH.md "
+                    "with a finiteness guarantee is pallas_hybrid (31.5 ms "
+                    "solver-only at b4096 = 519k units/s, 564k and 100% "
+                    "finite at b32768 randomized, NOT robust-accuracy — BENCH.md "
                     "'hybrid flag'); bare pallas_ric is quarantined for "
                     "randomized domains (0.6-0.7% silent NaNs).",
         },

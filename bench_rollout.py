@@ -40,6 +40,9 @@ def main():
 
     enable_compilation_cache()
 
+    from bench_common import make_emitter
+
+    emit = make_emitter("bench_rollout", vars(args))
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
 
     for batch in [int(b) for b in args.batches.split(",")]:
@@ -66,8 +69,8 @@ def main():
         # Sanity: the batch must still be walking, not NaN-coasting.
         zs = np.asarray(traj)[-1, :, 5]
         assert np.isfinite(np.asarray(x)).all() and (np.abs(zs - 0.55) < 0.1).all()
-        print(json.dumps({
-            "batch": batch,
+        emit({
+            "batch": batch, "solver": args.solver,
             "env_steps_per_sec": round(batch * ticks / t, 1),
             "mpc_solves_per_sec": round(batch * cycles / t, 1),
             "rollout_ticks": ticks,
@@ -75,7 +78,7 @@ def main():
             "realtime_factor_per_env": round(ticks * 1e-3 / t, 2),
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),
-        }), flush=True)
+        })
 
 
 if __name__ == "__main__":
