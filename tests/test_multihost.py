@@ -60,3 +60,6 @@ def test_two_process_global_mesh():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MULTIHOST_OK pid={pid} devices=8" in out, out[-3000:]
+        # Round 3: the shipped Pallas kernel on the same global mesh
+        # (shard_map route, interpret-mode kernels on the CPU devices).
+        assert f"MULTIHOST_PALLAS_OK pid={pid} devices=8" in out, out[-3000:]
