@@ -75,6 +75,16 @@ class PdipmOptions(NamedTuple):
     refine_steps: int = 0  # iterative-refinement passes on the reduced solve
     # (0 suffices in f64; use 1-2 on the f32 TPU path to recover accuracy
     # lost to the ill-conditioned late-iteration KKT)
+    refine_skip_iters: int = 0  # Pallas kernels only: run the FIRST this-
+    # many Newton steps with refine=0, the rest at refine_steps. Early
+    # iterates are far from complementarity (benign reduced-KKT scales),
+    # so their refinement solves can be skipped for ~refine_steps x
+    # skip/iterations of the solve cost — IF the stress accuracy class
+    # holds; measured A/B in BENCH.md round 3 "Scheduled refinement".
+    # 0 = refine every step (the round-2 behavior). Refinement is this
+    # implementation's own f32 repair (the f64 reference does plain
+    # solves), so the schedule is a numerical-design knob, not a parity
+    # deviation. Ignored by the pure-JAX backends.
     sigma_cap: float = 0.0  # if > 0, cap the complementarity scaling z/s at
     # this value. Bounds the reduced-KKT condition number for the f32 TPU
     # path; active constraints are then enforced to ~1/sigma_cap relative

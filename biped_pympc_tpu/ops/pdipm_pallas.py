@@ -1360,7 +1360,10 @@ def _pdipm_kernel(
     use_ric2 = opts.backend == "ric2"
     use_ric_aug = opts.backend == "ric_aug"
 
-    def iteration(_, carry):
+    def iteration_base(refine_base, _, carry):
+        # refine_base: the refinement depth THIS Newton step runs with
+        # (static). `opts.refine_skip_iters` schedules the first steps at
+        # 0 — see the fori_loop site below.
         x, s, z, y, _res = carry
         rx = hd * x + f + gT_mv(z) + aT_mv(y)
         re = a_mv(x) - b
@@ -1387,7 +1390,7 @@ def _pdipm_kernel(
                 factors = factor_bcr(w_inv)
                 solve_fn = bcr_solve
 
-            def reduced_solve(r1, r2, r3, r4, refine=opts.refine_steps):
+            def reduced_solve(r1, r2, r3, r4, refine=refine_base):
                 r1_hat = r1 + gT_mv(w_inv * (r3 - r2 / sigma_d))
                 dx, dy = solve_fn(r1_hat, r4, *factors)
                 for _ in range(refine):
@@ -1414,7 +1417,7 @@ def _pdipm_kernel(
                 factor_aug(w_diag)
                 solve_aug_fn = thomas_solve_aug
 
-            def reduced_solve(r1, r2, r3, r4, refine=opts.refine_steps):
+            def reduced_solve(r1, r2, r3, r4, refine=refine_base):
                 r_z = r3 - r2 / sigma_d
                 dx, dz, dy = solve_aug_fn(r1, r_z, r4)
                 for _ in range(refine):
@@ -1428,7 +1431,7 @@ def _pdipm_kernel(
         else:
             factor(w_inv)
 
-            def reduced_solve(r1, r2, r3, r4, refine=opts.refine_steps):
+            def reduced_solve(r1, r2, r3, r4, refine=refine_base):
                 r1_hat = r1 + gT_mv(w_inv * (r3 - r2 / sigma_d))
                 dx, dy = thomas_solve(r1_hat, r4)
                 for _ in range(refine):
@@ -1448,7 +1451,7 @@ def _pdipm_kernel(
         # forms per-solve refinement is skipped (see PdipmOptions).
         dx_a, ds_a, dz_a, dy_a = reduced_solve(
             -rx, -(s * z) / s, -rs, -re,
-            refine=0 if (combined or sum_refine) else opts.refine_steps,
+            refine=0 if (combined or sum_refine) else refine_base,
         )
         a_p = frac_to_boundary(s, ds_a)
         a_d = frac_to_boundary(z, dz_a)
@@ -1482,7 +1485,7 @@ def _pdipm_kernel(
             # that sink the "combined" form never enter a large solve.
             r1s = -rx
             r2s = -(s * z + rc) / s
-            for _ in range(opts.refine_steps):
+            for _ in range(refine_base):
                 m1 = hd * dx + opts.beta * dx + gT_mv(dz) + aT_mv(dy)
                 m2 = sigma_d * ds + dz
                 m3 = g_mv(dx) + ds - opts.delta * dz
@@ -1501,7 +1504,7 @@ def _pdipm_kernel(
                 # the corrector's (its solve error enters the direction
                 # linearly; see PdipmOptions.corrector_form).
                 refine=0 if opts.corrector_form == "aff_ref"
-                else opts.refine_steps,
+                else refine_base,
             )
             dx = dx_a + dx_c
             ds = ds_a + ds_c
@@ -1538,8 +1541,24 @@ def _pdipm_kernel(
         y0 = jnp.ones((ne, bt), dtype)
     res0 = jnp.zeros((4, bt), dtype)
 
+    iteration = functools.partial(iteration_base, opts.refine_steps)
+    carry = (x0v, s0, z0, y0, res0)
+    skip = min(opts.refine_skip_iters, opts.iterations)
+    if skip > 0 and opts.refine_steps > 0:
+        # Scheduled refinement: the first `skip` Newton steps run
+        # UNREFINED (early iterates are far from complementarity, so the
+        # reduced-KKT scales are benign and f32 solves suffice); the
+        # remaining steps keep the full refinement that repairs the
+        # ill-conditioned late-iteration solves. Accuracy A/B in BENCH.md
+        # round 3 "Scheduled refinement". Refinement is this kernel's own
+        # f32 repair (the f64 reference never refines), so scheduling it
+        # is a numerical-design knob, not a parity deviation.
+        carry = jax.lax.fori_loop(
+            0, skip, functools.partial(iteration_base, 0), carry
+        )
     x, s, z, y, res = jax.lax.fori_loop(
-        0, opts.iterations, iteration, (x0v, s0, z0, y0, res0)
+        skip if (skip > 0 and opts.refine_steps > 0) else 0,
+        opts.iterations, iteration, carry
     )
     x_out[...] = x
     s_out[...] = s
