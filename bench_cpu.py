@@ -92,12 +92,15 @@ def main():
     t = timed(lambda: jax.block_until_ready(solve(batch_qp)))
     results["cpu_jax_f32"] = B / t
 
+    from bench_common import make_emitter
+
+    emit = make_emitter("bench_cpu")
     for name, rate in results.items():
-        print(json.dumps({
+        emit({
             "metric": f"{name}_solves_per_sec_b{B}_h10_20iter",
             "value": round(rate, 2),
             "unit": "solves/s",
-        }))
+        })
 
 
 if __name__ == "__main__":
