@@ -199,10 +199,12 @@ def _gj_pair_inplace(a):
     eliminates row k of BOTH matrices simultaneously (identical column
     structure), with per-half pivots and two half-masked rank-1 updates.
     Per-half recurrence identical to `_gj_inverse_nopivot_inplace`; the
-    tableau passes per step go 2 -> 3, but each runs at full sublane
-    occupancy on HALF the lanes (net ~25% fewer issue slots on the GJ and
-    2x fewer on every downstream apply — A/B in BENCH.md round 3). Only
-    valid for the no-pivot (symmetric-definite) blocks.
+    tableau passes per step go 2 -> 3, each at full sublane occupancy on
+    HALF the lanes. MEASURED NEGATIVE on v5e (BENCH.md round 3 "Sublane
+    packing": ric split 30.9 vs 29.9 ms at b4096) — the extra masked
+    pass costs more than the occupancy returns; kept as a tested variant
+    (`PdipmOptions.foot_pack`), default off. Only valid for the no-pivot
+    (symmetric-definite) blocks.
     """
     n = a.shape[0]
     dt = a.dtype
@@ -241,11 +243,14 @@ def _gj_pair_pivot(s_pair):
     The augmented foot-split factor needs the pivot search for f32
     robustness (`PdipmOptions.aug_pivot`); packing the two 12-wide foot
     tableaus side by side keeps every augmented-tableau pass at full
-    sublane width while halving the lane count, and — the real win — the
-    stored inverse pair feeds the packed `K^-1` apply (full 24-sublane
-    tiles instead of two 16-padded 12-wide applies). Each half runs the
-    exact `_gj_inverse` recurrence with its own pivot choice and row
-    swaps (the halves' row orders evolve independently).
+    sublane width while halving the lane count, and the stored inverse
+    pair feeds the packed `K^-1` apply (full 24-sublane tiles instead of
+    two 16-padded 12-wide applies). Each half runs the exact
+    `_gj_inverse` recurrence with its own pivot choice and row swaps
+    (the halves' row orders evolve independently). MEASURED NEGATIVE on
+    v5e (BENCH.md round 3: 85.2 vs 47.9 ms at b4096 — the per-half
+    pivot search's swap-mask blends swamp the occupancy win); kept as a
+    tested variant, default off.
     """
     n = s_pair.shape[0]
     bt = s_pair.shape[-1]
@@ -760,7 +765,8 @@ def _pdipm_kernel(
         """`_split_bkb` from the PACKED (4, 8, T*bt) [K_L^-1 | K_R^-1]
         inverse pair: the dominant (12, 12, ...) outer contraction runs
         over the packed 8-column axis in one full-sublane pass instead of
-        two 8-padded 4-wide passes."""
+        two 8-padded 4-wide passes. (Part of the measured-negative
+        foot_pack variant set — see `_gj_pair_inplace`.)"""
         bdL4_st = _tile_lanes(_cols_L(bd), T)  # (12, 4, T*bt)
         bdR4_st = _tile_lanes(_cols_R(bd), T)
         # m1 = [Bd_L K_L^-1 | Bd_R K_R^-1]  (12, 8, T*bt)
