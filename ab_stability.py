@@ -1,11 +1,15 @@
 """Long-horizon closed-loop stability on real TPU: 256 envs x 30 s sim.
 
-The f32 pallas_ric kernel drives the full walking loop (100 Hz MPC, 1 kHz
+The f32 Pallas kernel drives the full walking loop (100 Hz MPC, 1 kHz
 control + SRBD plant) for 30,000 ticks in 30 x 1 s dispatches; reports the
 fraction of envs upright (height within 0.15 m of command, |rp| < 0.5 rad)
 and tracking stats along the way. Commands are domain-randomized per env
 (vx in [-0.3, 0.5], vy in [-0.15, 0.15], wz in [-0.3, 0.3], random gait
 phases) — the RL-training batch shape.
+
+Flags: --yaw (omnidirectional contact frame), --solver NAME (default
+pallas_ric, the round-2 run; round 3 adds the pallas_hybrid rerun that
+rescued the 1/256 divergence — BENCH.md). Appends results/ab_stability.jsonl.
 """
 import json, sys
 import numpy as np
@@ -20,10 +24,14 @@ enable_compilation_cache()
 batch = 256
 import sys as _sys
 frame = "yaw" if "--yaw" in _sys.argv else "world"
+solver = "pallas_ric"
+if "--solver" in _sys.argv:
+    solver = _sys.argv[_sys.argv.index("--solver") + 1]
 core = BipedControllerCore(ControllerConf(),
-                           MPCConf(solver="pallas_ric", contact_frame=frame),
+                           MPCConf(solver=solver, contact_frame=frame),
                            gait_id=2)
-print(json.dumps({"contact_frame": frame}), flush=True)
+from bench_common import make_emitter
+emit = make_emitter("ab_stability", {"frame": frame, "solver": solver})
 rollout, cycles = make_rollout(core, 1.0)
 rollout = jax.jit(rollout)
 carry = init_carry(core, batch, 0.3, 0.55)
@@ -48,10 +56,10 @@ for sec in range(30):
         vx = x[:, 9]
         upright = (np.abs(h - 0.55) < 0.15) & (rp < 0.5) & np.isfinite(x).all(axis=1)
         vx_err = np.abs(vx - cmd_vx)
-        print(json.dumps({"sim_s": sec+1,
+        emit({"sim_s": sec+1,
             "upright_frac": round(float(upright.mean()), 4),
             "height_p50": round(float(np.median(h)), 4),
             "height_p5": round(float(np.percentile(h, 5)), 4),
             "vx_err_p50": round(float(np.median(vx_err)), 3),
             "vx_err_p95": round(float(np.percentile(vx_err, 95)), 3),
-            "nan_envs": int((~np.isfinite(x).all(axis=1)).sum())}), flush=True)
+            "nan_envs": int((~np.isfinite(x).all(axis=1)).sum())})
