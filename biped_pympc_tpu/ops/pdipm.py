@@ -84,7 +84,10 @@ class PdipmOptions(NamedTuple):
     # 0 = refine every step (the round-2 behavior). Refinement is this
     # implementation's own f32 repair (the f64 reference does plain
     # solves), so the schedule is a numerical-design knob, not a parity
-    # deviation. Ignored by the pure-JAX backends.
+    # deviation. Ignored by the pure-JAX backends. NOTE: under
+    # `solve_adaptive`'s chunked launches the skip applies per LAUNCH
+    # (each chunk counts its own first steps), so combine the two only
+    # deliberately.
     sigma_cap: float = 0.0  # if > 0, cap the complementarity scaling z/s at
     # this value. Bounds the reduced-KKT condition number for the f32 TPU
     # path; active constraints are then enforced to ~1/sigma_cap relative
