@@ -105,16 +105,10 @@ def main():
         # rationale): shard_map runs the kernel per device on its own batch
         # shard — GSPMD has no partitioning rule for a pallas_call, so the
         # plain-jit route could silently replicate it at full batch.
-        try:
-            from jax import shard_map
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         spec = P(pmesh.DATA_AXIS)
-        chain = jax.jit(shard_map(
-            chain_body, mesh=mesh, in_specs=spec, out_specs=spec,
-            check_vma=False))
+        chain = jax.jit(pmesh.shard_map_compat(chain_body, mesh, spec, spec))
     else:
         chain = jax.jit(chain_body)
 
@@ -124,6 +118,7 @@ def main():
     except Exception as e:  # pragma: no cover - runtime-specific
         print(f"# pallas path failed ({type(e).__name__}); falling back "
               "to the pure-JAX solver", file=sys.stderr)
+        mesh = None  # the fallback runs unsharded: label it as 1-device
         mpc_cfg = MPCConf(solver="tridiag_aug", verbose=False)
         core = BipedControllerCore(ControllerConf(), mpc_cfg, gait_id=2)
         state = core.init_state(batch)

@@ -82,16 +82,11 @@ def child(n_dev: int, per_dev: int, chain: int,
     if solver.startswith("pallas"):
         # shard_map route (the blessed Pallas multi-chip path): each
         # device's kernel runs on its own shard by construction.
-        try:
-            from jax import shard_map
-        except ImportError:  # pragma: no cover
-            from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         spec = P(pmesh.DATA_AXIS)
-        wrap = lambda f, out_specs: jax.jit(shard_map(
-            f, mesh=mesh, in_specs=spec, out_specs=out_specs,
-            check_vma=False))  # pallas_call outputs carry no VMA metadata
+        wrap = lambda f, out_specs: jax.jit(
+            pmesh.shard_map_compat(f, mesh, spec, out_specs))
         chained = wrap(chained_body, spec)
         bare_step = wrap(lambda s: core.run_mpc(s), spec)
     else:

@@ -14,7 +14,7 @@ deprecated 13-state (gravity-augmented) formulation in
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Literal, Tuple
+from typing import Literal, Tuple, Union
 
 _DEFAULT_Q = (150.0, 150.0, 250.0, 100.0, 100.0, 250.0, 1.0, 1.0, 5.0, 10.0, 10.0, 1.0)
 _DEFAULT_R = (1e-5, 1e-5, 1e-5, 1e-5, 1e-5, 1e-5, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4)
@@ -51,6 +51,9 @@ class MPCConf:
     # SPEED MODES (measured caveats, BENCH.md "hybrid flag"):
     #   "pallas_hybrid" — condensed kernel everywhere + budgeted augmented
     #     re-solve of the worst-criterion envs. GUARANTEES finiteness
+    #     while the budget covers the non-finite count — true by ~5x
+    #     margin at the default auto budget; a small fixed hybrid_budget
+    #     forfeits it (see solve_hybrid docstring)
     #     (measured 100% finite at batch 32768 under domain randomization,
     #     where the bare condensed kernel NaNs on 0.6-0.7% of envs) at
     #     ~1.13x the condensed cost, and repairs the worst divergent
@@ -123,7 +126,7 @@ class MPCConf:
     # (BENCH.md round 3 "Sublane packing"); the lever's occupancy model
     # did not survive contact with Mosaic's actual scheduling. Kept as
     # tested variants (True | "apply") for other shapes/hardware.
-    solver_foot_pack: bool = False
+    solver_foot_pack: Union[bool, Literal["apply"]] = False
     # Adaptive iterations (opt-in, NOT strict reference parity): when > 0,
     # run the solver in `adaptive_chunk`-step launches inside a
     # `lax.while_loop` and stop early once EVERY env's residual criterion

@@ -153,7 +153,7 @@ class PdipmOptions(NamedTuple):
     # vs one 14-wide GJ) / ~7.8x ("ric_aug": two 12-wide vs one 30-wide);
     # per-foot partial pivoting retains the augmented form's f32
     # robustness (pivoting across exactly-decoupled blocks is vacuous).
-    foot_pack: bool = False  # False | True | "apply".
+    foot_pack: "bool | str" = False  # False | True | "apply".
     # Pallas foot-split kernels only: pack the two
     # per-foot blocks side by side in the SUBLANE (column) dimension of
     # one array instead of lane-stacking them — the split's 4-wide (ric)

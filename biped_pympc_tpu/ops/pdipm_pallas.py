@@ -1599,11 +1599,12 @@ def _to_batch_last(qp: StageQP) -> _BatchedQP:
 
 def _interpret_default() -> bool:
     """Mosaic TC kernels only exist on TPU backends; everywhere else
-    (CPU test meshes, the driver's virtual-device multichip dryrun) the
-    kernels run under the Pallas interpreter automatically — same
-    algorithm, platform-independent lowering — so every caller (sharded
-    controller steps included) works unmodified off-TPU."""
-    return jax.default_backend() == "cpu"
+    (CPU test meshes, the driver's virtual-device multichip dryrun, a
+    GPU-backed dev box) the kernels run under the Pallas interpreter
+    automatically — same algorithm, platform-independent lowering — so
+    every caller (sharded controller steps included) works unmodified
+    off-TPU. "axon" is the tunneled-TPU platform of this runtime."""
+    return jax.default_backend() not in ("tpu", "axon")
 
 
 def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
@@ -1769,7 +1770,11 @@ def solve_hybrid(
 
     budget <= 0 selects the auto size max(64, batch // 32): ~3.1% of the
     batch, ~5x the measured 0.65-0.73% randomized-domain non-finite rate
-    of the condensed speed mode. A fixed positive budget is honored.
+    of the condensed speed mode. A fixed positive budget is honored —
+    NOTE the finiteness guarantee holds only while budget >= the number
+    of non-finite envs (ranked +inf, they claim budget slots first); a
+    fixed budget below the workload's non-finite count silently returns
+    the excess NaN envs unmerged. Keep the auto size unless measured.
     """
     batch = qp.f.shape[0]
     if budget is None or budget <= 0:

@@ -66,6 +66,24 @@ def sharded_step(step_fn, mesh: Mesh):
     return jax.jit(wrapped)
 
 
+def shard_map_compat(f, mesh: Mesh, in_specs, out_specs):
+    """`jax.shard_map` with replication/VMA checking off, across jax
+    versions (check_vma on >= 0.7, check_rep before) — required for
+    bodies containing `pallas_call` (its outputs carry no VMA metadata).
+    Shared by the bench harnesses; `shard_map_step` uses the same logic.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    try:
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax spelling
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
 def shard_map_step(step_fn, mesh: Mesh, with_metrics: bool = True):
     """Explicit-SPMD wrapper via `shard_map`: each device runs `step_fn` on
     its shard of the env batch (all pytree leaves split on their leading
@@ -78,11 +96,6 @@ def shard_map_step(step_fn, mesh: Mesh, with_metrics: bool = True):
     returned alongside. Complements `sharded_step` (the GSPMD variant) with
     the collectives spelled out.
     """
-    try:
-        from jax import shard_map  # jax >= 0.6 top-level API
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
-
     spec = P(DATA_AXIS)
 
     def body(state, *args):
@@ -97,20 +110,7 @@ def shard_map_step(step_fn, mesh: Mesh, with_metrics: bool = True):
         return out
 
     out_specs = (spec, spec, spec, P()) if with_metrics else spec
-    try:
-        # check_vma=False: a pallas_call body cannot annotate its outputs'
-        # varying-across-mesh-axes metadata, which strict VMA checking
-        # (jax >= 0.7 default) requires of every ShapeDtypeStruct.
-        mapped = shard_map(
-            body, mesh=mesh, in_specs=spec, out_specs=out_specs,
-            check_vma=False,
-        )
-    except TypeError:  # pragma: no cover - older jax: check_rep spelling
-        mapped = shard_map(
-            body, mesh=mesh, in_specs=spec, out_specs=out_specs,
-            check_rep=False,
-        )
-    return jax.jit(mapped)
+    return jax.jit(shard_map_compat(body, mesh, spec, out_specs))
 
 
 def controller_step(core, mesh: Mesh, with_metrics: bool = False):

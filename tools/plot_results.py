@@ -66,31 +66,44 @@ def plot_sweep(rows, out):
     recs = [r for r in rows if "method" in r and "solve_units_per_sec" in r]
     if not recs:
         return False
-    # Latest record per (method, batch, workload): reruns supersede.
+    # Latest record per (method, workload, horizon, batch): reruns
+    # supersede. One LINE per (method, workload, horizon) — merging
+    # incomparable measurement conditions into one method line would
+    # zigzag across workloads/horizons.
     latest = {}
     for r in recs:
-        latest[(r["method"], r["batch"], r.get("workload", ""))] = r
-    methods = sorted({k[0] for k in latest})
-    fig, ax = plt.subplots(figsize=(7, 4.5), dpi=150)
-    for i, m in enumerate(methods):
+        latest[(r["method"], r.get("workload", ""),
+                r.get("horizon", 10), r["batch"])] = r
+    series_keys = sorted({k[:3] for k in latest})
+    # Color follows the METHOD (the entity); condition varies linestyle.
+    methods = sorted({m for m, _, _ in series_keys})
+    styles = ["-", "--", ":", "-."]
+    conds = sorted({(w, h) for _, w, h in series_keys})
+    fig, ax = plt.subplots(figsize=(7.5, 4.5), dpi=150)
+    for (m, w, h) in series_keys:
         pts = sorted(
-            (k[1], v["solve_units_per_sec"])
-            for k, v in latest.items() if k[0] == m
+            (k[3], v["solve_units_per_sec"])
+            for k, v in latest.items() if k[:3] == (m, w, h)
         )
         if not pts:
             continue
         xs, ys = zip(*pts)
-        c = SERIES[i % len(SERIES)]
-        ax.plot(xs, ys, "-o", color=c, linewidth=2, markersize=5,
-                label=m, zorder=3)
-        ax.annotate(m, (xs[-1], ys[-1]), xytext=(6, 0),
-                    textcoords="offset points", color=TEXT, fontsize=8,
-                    va="center")
+        c = SERIES[methods.index(m) % len(SERIES)]
+        ls = styles[conds.index((w, h)) % len(styles)]
+        cond = ", ".join(x for x in (w, f"T={h}" if h != 10 else "") if x)
+        label = f"{m} ({cond})" if cond else m
+        ax.plot(xs, ys, ls, marker="o", color=c, linewidth=2,
+                markersize=5, label=label, zorder=3)
+        if len(pts) >= 2:  # direct-label lines; lone points legend-only
+            ax.annotate(label, (xs[-1], ys[-1]), xytext=(6, 0),
+                        textcoords="offset points", color=TEXT,
+                        fontsize=8, va="center")
     ax.set_xscale("log", base=2)
     _style(ax, "batch size", "5-iteration solve units / s",
            "Batched MPC solve throughput by method")
-    if len(methods) >= 2:
-        ax.legend(frameon=False, fontsize=8, labelcolor=TEXT)
+    if len(series_keys) >= 2:
+        ax.legend(frameon=False, fontsize=7, labelcolor=TEXT,
+                  loc="lower right")
     fig.tight_layout()
     fig.savefig(out)
     plt.close(fig)
