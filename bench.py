@@ -24,8 +24,12 @@ batch-4096 workload BASELINE.json budgets for a v5e-16.
 """
 
 import json
+import os
 import sys
 import time
+
+# Shared harness helpers live under bench/ (repo-hygiene move, round 4).
+sys.path.append(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench"))
 
 import numpy as np
 

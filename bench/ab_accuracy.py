@@ -4,6 +4,13 @@ Measurement script: 8 distinct contact-chattering walking QPs (tiled to a
 256 batch, `bench_common.make_qp_batch`), u0 (the GRFs) compared against
 `ops/reference_pdipm.py` at 20 iterations.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import json
 

@@ -15,6 +15,13 @@ shows what the in-process jit cache reuses):
 Each row reports lower_s (tracing) and compile_s (XLA+Mosaic) separately.
 Appends to results/ab_compile.jsonl.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import time
 

@@ -5,6 +5,13 @@ inversion on (n, n, B) (half the per-step tile traffic). Same methodology
 as ab_kpivot.py: walking stress QPs, chained-scan device timing, variants
 interleaved per rep.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import json
 import time

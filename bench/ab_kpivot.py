@@ -6,6 +6,13 @@ interleaved per rep to cancel runtime drift. Variants: pivoted GJ, no-pivot
 GJ (the default), and the rank-2 Schur "ric2" form. f32 accuracy of the
 same variants is measured by `ab_accuracy.py`.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import json
 import time

@@ -13,6 +13,13 @@ Measures, for skip in {0, 5, 10, 15} on ricaug_split (+ ric_split at
 the winning skip): stress-set GRF accuracy vs the f64 golden (b256) and
 chained-scan ms at b4096. Appends to results/ab_refsched.jsonl.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import time
 

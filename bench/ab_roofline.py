@@ -19,6 +19,13 @@ only shared operands here are constant selectors. Contractions are over
 n <= 14 (split: <= 12), so even a hypothetical lane-batched MXU mapping
 would run at (n/128)^2 < 1% systolic utilization — below the VPU path.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import json
 import time

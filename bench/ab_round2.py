@@ -17,6 +17,13 @@ Candidates (round-2b edit — the round-2a five-way matrix lives in
   ric_dense_aff     - condensed dense with "aff_ref", same question for
                       the speed-mode factorization.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import json
 import time

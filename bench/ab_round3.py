@@ -23,6 +23,13 @@ D. Hybrid stress-set accuracy vs the f64 golden (b256): the headline
 
 Results also append to results/ab_round3.jsonl (machine-readable).
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import time
 

@@ -15,6 +15,13 @@ C2. Hybrid flag-component analysis: WHICH residual component of the fast
 
 Appends to results/ab_round3b.jsonl.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import time
 

@@ -7,6 +7,13 @@ augmented kernel ("ric_aug", whose 30-wide pivoted GJ was ~2/3 of its
 runtime). Methodology as ab_gj.py: walking stress QPs, chained-scan device
 timing, variants interleaved per rep; ms per full 20-iteration solve.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import json
 import time

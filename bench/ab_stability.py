@@ -11,6 +11,13 @@ Flags: --yaw (omnidirectional contact frame), --solver NAME (default
 pallas_ric, the round-2 run; round 3 adds the pallas_hybrid rerun that
 rescued the 1/256 divergence — BENCH.md). Appends results/ab_stability.jsonl.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 import json, sys
 import numpy as np
 import jax, jax.numpy as jnp

@@ -5,6 +5,13 @@ rot/IK), controller ingest (FK/J/gait), low-level (swing/Raibert/Bezier/
 leg IK), and plant RK4 — each in isolation — to find where the 13 ms/tick
 goes.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import json
 import sys

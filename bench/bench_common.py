@@ -5,6 +5,16 @@ One definition of the walking-class stress-QP batch so `bench_sweep.py`,
 (8 base variants with contact-chattering tables, tiled to the batch size).
 """
 
+import os as _os
+import sys as _sys
+
+# Repo root (one level up from bench/) — for `import biped_pympc_tpu` when a
+# harness is launched as `python bench/<harness>.py`, and as the anchor for
+# the shared results/ directory.
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+if _ROOT not in _sys.path:
+    _sys.path.insert(0, _ROOT)
+
 import numpy as np
 
 
@@ -166,23 +176,32 @@ def make_emitter(harness: str, params: dict | None = None,
     import os
     import time
 
-    d = results_dir or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "results")
+    d = results_dir or os.path.join(_ROOT, "results")
     os.makedirs(d, exist_ok=True)
     path = os.path.join(d, f"{harness}.jsonl")
-    f = open(path, "a")
     header = {
         "run": harness,
         "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "params": dict(params or {}),
     }
-    f.write(json.dumps(header) + "\n")
-    f.flush()
+    # The file is opened and the run header written LAZILY on the first emit,
+    # so a harness that crashes before producing any measurement leaves no
+    # header-only stanza in the artifact; emit.close() releases the handle.
+    state = {"f": None}
 
     def emit(obj: dict) -> None:
         line = json.dumps(obj)
         print(line, flush=True)
-        f.write(line + "\n")
-        f.flush()
+        if state["f"] is None:
+            state["f"] = open(path, "a")
+            state["f"].write(json.dumps(header) + "\n")
+        state["f"].write(line + "\n")
+        state["f"].flush()
 
+    def close() -> None:
+        if state["f"] is not None:
+            state["f"].close()
+            state["f"] = None
+
+    emit.close = close
     return emit

@@ -5,6 +5,13 @@ harness (`/root/reference/biped_pympc/cusadi/src/benchmark_functions/`):
 measure per-env SRBD-MPC solve throughput on CPU to anchor the TPU speedup
 numbers reported by bench.py. Prints one JSON line per method.
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import json
 import time

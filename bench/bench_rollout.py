@@ -10,6 +10,13 @@ Prints one JSON line per batch: 1 kHz env-steps/s and MPC solves/s.
 
 Usage: python bench_rollout.py [--batches 1024,4096] [--seconds 0.5]
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import argparse
 import json

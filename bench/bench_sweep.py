@@ -19,6 +19,13 @@ timing amortizes the per-dispatch host round-trip.
 
 Usage: python bench_sweep.py [--batches 64,256,1024,4096] [--chain 10]
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import argparse
 import json

@@ -29,6 +29,13 @@ instruction-throughput (ops * batch / s). Chained-scan timing as bench.py.
 Usage: python bench_synthetic.py [--ops 1e1,1e2,1e3,1e4,1e5]
                                  [--batches 256,4096,32768] [--cpu]
 """
+# Runnable from anywhere: put the repo root (one level up) on sys.path
+# so `import biped_pympc_tpu` and `import bench_common` both resolve.
+import os as _os
+import sys as _sys
+_sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                 _os.path.dirname(_os.path.abspath(__file__))]
+
 
 import argparse
 import json

@@ -83,25 +83,37 @@ def continuous_dynamics(lin: SrbdLin, euler_rate_mode: str = "rt_omega") -> Affi
       v_dot     = (F_L + F_R)/m + g + res_lin
     """
     dtype = lin.rot_body.dtype
+    # Dtype hygiene: the model dtype is set by rot_body; callers routinely
+    # hand mixed-precision leaves (e.g. f64 residuals under x64 tests). Cast
+    # every leaf here so assembly never relies on scatter promotion (which
+    # is a FutureWarning today and a hard error in future jax).
+    cast = lambda v: jnp.asarray(v, dtype)
+    inertia_world = cast(lin.inertia_world)
+    body_pos = cast(lin.body_pos)
+    foot_pos = cast(lin.foot_pos)
+    mass = cast(lin.mass)
+    res_ang = cast(lin.residual_ang_accel)
+    res_lin = cast(lin.residual_lin_accel)
+
     rm = lin.rot_body.T if euler_rate_mode == "rt_omega" else lin.rot_body
-    inertia_inv = _inv3(lin.inertia_world)
+    inertia_inv = _inv3(inertia_world)
 
     A = jnp.zeros((12, 12), dtype=dtype)
     A = A.at[0:3, 6:9].set(rm)
     A = A.at[3:6, 9:12].set(jnp.eye(3, dtype=dtype))
 
     B = jnp.zeros((12, 12), dtype=dtype)
-    B = B.at[6:9, 0:3].set(inertia_inv @ _skew(lin.foot_pos[0] - lin.body_pos))
-    B = B.at[6:9, 3:6].set(inertia_inv @ _skew(lin.foot_pos[1] - lin.body_pos))
+    B = B.at[6:9, 0:3].set(inertia_inv @ _skew(foot_pos[0] - body_pos))
+    B = B.at[6:9, 3:6].set(inertia_inv @ _skew(foot_pos[1] - body_pos))
     B = B.at[6:9, 6:9].set(inertia_inv)
     B = B.at[6:9, 9:12].set(inertia_inv)
-    B = B.at[9:12, 0:3].set(jnp.eye(3, dtype=dtype) / lin.mass)
-    B = B.at[9:12, 3:6].set(jnp.eye(3, dtype=dtype) / lin.mass)
+    B = B.at[9:12, 0:3].set(jnp.eye(3, dtype=dtype) / mass)
+    B = B.at[9:12, 3:6].set(jnp.eye(3, dtype=dtype) / mass)
 
     c = jnp.zeros((12,), dtype=dtype)
-    c = c.at[6:9].set(lin.residual_ang_accel)
+    c = c.at[6:9].set(res_ang)
     c = c.at[9:12].set(
-        jnp.array([0.0, 0.0, -GRAVITY], dtype=dtype) + lin.residual_lin_accel
+        jnp.array([0.0, 0.0, -GRAVITY], dtype=dtype) + res_lin
     )
     return AffineDynamics(A, B, c)
 

@@ -153,6 +153,12 @@ class PdipmOptions(NamedTuple):
     # vs one 14-wide GJ) / ~7.8x ("ric_aug": two 12-wide vs one 30-wide);
     # per-foot partial pivoting retains the augmented form's f32
     # robustness (pivoting across exactly-decoupled blocks is vacuous).
+    interpret: "bool | None" = None  # Pallas kernels only: None (default)
+    # derives the Pallas interpret flag from `jax.default_backend()` at
+    # trace time; an explicit True/False overrides it — needed when the
+    # solve is deliberately placed on a NON-default backend (e.g. a CPU
+    # device mesh inside a TPU-default process), where the trace-time
+    # default would pick the wrong lowering (ADVICE r3).
     foot_pack: "bool | str" = False  # False | True | "apply".
     # Pallas foot-split kernels only: pack the two
     # per-foot blocks side by side in the SUBLANE (column) dimension of

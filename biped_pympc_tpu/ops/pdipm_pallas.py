@@ -1603,8 +1603,19 @@ def _interpret_default() -> bool:
     GPU-backed dev box) the kernels run under the Pallas interpreter
     automatically — same algorithm, platform-independent lowering — so
     every caller (sharded controller steps included) works unmodified
-    off-TPU. "axon" is the tunneled-TPU platform of this runtime."""
+    off-TPU. "axon" is the tunneled-TPU platform of this runtime.
+
+    This keys off the DEFAULT backend at trace time; when the solve is
+    deliberately placed elsewhere, set `PdipmOptions.interpret`
+    explicitly (see `_interpret`)."""
     return jax.default_backend() not in ("tpu", "axon")
+
+
+def _interpret(opts: PdipmOptions) -> bool:
+    """Resolved Pallas interpret flag: explicit option wins, else backend."""
+    if opts.interpret is not None:
+        return bool(opts.interpret)
+    return _interpret_default()
 
 
 def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
@@ -1621,7 +1632,7 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
     """
     batch = qp.f.shape[0]
     horizon = qp.d.shape[1]
-    tile, pad = _tile_and_pad(batch, tile)
+    tile, pad = _tile_and_pad(batch, tile, _interpret(opts))
     if pad:
         qp_pad = jax.tree.map(functools.partial(_pad_batch, pad), qp)
         st_pad = None if state is None else jax.tree.map(
@@ -1640,7 +1651,7 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
     return PdipmResult(x=t(x), s=t(s), z=t(z), y=t(y), residuals=t(res))
 
 
-def _tile_and_pad(batch: int, tile: int):
+def _tile_and_pad(batch: int, tile: int, interpret: bool):
     """Static helper: padding to a whole number of lane tiles.
 
     Small batches PAD UP to the full `tile` rather than shrinking it:
@@ -1651,7 +1662,7 @@ def _tile_and_pad(batch: int, tile: int):
     interpreter (non-TPU backends) no lane-alignment constraint exists
     and padding IS real work, so the tile shrinks to the batch there;
     callers can still pass an explicit smaller `tile`."""
-    if _interpret_default():
+    if interpret:
         tile = max(1, min(tile, batch))
     return tile, (-batch) % tile
 
@@ -1729,7 +1740,7 @@ def _solve_bl(data: _BatchedQP, horizon: int, opts: PdipmOptions,
             # it is the semantically correct annotation.)
             dimension_semantics=("parallel",),
         ),
-        interpret=_interpret_default(),
+        interpret=_interpret(opts),
     )(*inputs)
     return x, s, z, y, res
 
@@ -1770,7 +1781,13 @@ def solve_hybrid(
 
     budget <= 0 selects the auto size max(64, batch // 32): ~3.1% of the
     batch, ~5x the measured 0.65-0.73% randomized-domain non-finite rate
-    of the condensed speed mode. A fixed positive budget is honored —
+    of the condensed speed mode. NOTE (sharding): under `shard_map` this
+    function sees only its device's SHARD, so the auto budget is per
+    shard — with D devices the effective global re-solve budget is
+    D * max(64, (batch/D) // 32), i.e. the 64 floor scales with device
+    count (e.g. 8x64=512 vs 128 single-device at b4096). That skews cost,
+    not correctness; pass an explicit per-shard budget to pin the global
+    total. A fixed positive budget is honored —
     NOTE the finiteness guarantee holds only while budget >= the number
     of non-finite envs (ranked +inf, they claim budget slots first); a
     fixed budget below the workload's non-finite count silently returns
@@ -1787,9 +1804,16 @@ def solve_hybrid(
     # the broken fast-path solution (runtime-confirmed by the round-2
     # review); (b) the stored residuals are evaluated at the START of the
     # final Newton step, so a last-step blow-up can leave a finite
-    # criterion around a non-finite solution — check x directly.
-    x_ok = jnp.all(jnp.isfinite(res.x), axis=1)  # (B,)
-    crit = jnp.where(jnp.isfinite(crit) & x_ok, crit, jnp.inf)
+    # criterion around a non-finite solution — check EVERY solution leaf
+    # (x and the duals s/z/y: a finite x around NaN duals would otherwise
+    # return NaN dual outputs unmerged — ADVICE r3).
+    sol_ok = (
+        jnp.all(jnp.isfinite(res.x), axis=1)
+        & jnp.all(jnp.isfinite(res.s), axis=1)
+        & jnp.all(jnp.isfinite(res.z), axis=1)
+        & jnp.all(jnp.isfinite(res.y), axis=1)
+    )  # (B,)
+    crit = jnp.where(jnp.isfinite(crit) & sol_ok, crit, jnp.inf)
     k = min(budget, batch)
     vals, idx = jax.lax.top_k(crit, k)
     qp_bad = jax.tree.map(lambda a: a[idx], qp)
@@ -1830,7 +1854,7 @@ def solve_adaptive(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
     """
     batch = qp.f.shape[0]
     horizon = qp.d.shape[1]
-    tile, pad = _tile_and_pad(batch, tile)
+    tile, pad = _tile_and_pad(batch, tile, _interpret(opts))
     if pad:
         qp_pad = jax.tree.map(functools.partial(_pad_batch, pad), qp)
         res = solve_adaptive(qp_pad, opts, tol, tile)

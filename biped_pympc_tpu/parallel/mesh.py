@@ -116,9 +116,12 @@ def shard_map_step(step_fn, mesh: Mesh, with_metrics: bool = True):
 def controller_step(core, mesh: Mesh, with_metrics: bool = False):
     """The blessed sharded control step for a `BipedControllerCore`.
 
-    Pure-JAX solver backends go through GSPMD (`sharded_step`): the whole
-    step is elementwise in the batch axis, so XLA partitions it with zero
-    collectives (verified by the HLO check in `bench_mesh.py`).
+    Pure-JAX solver backends go through GSPMD (`sharded_step`) when
+    `with_metrics=False`: the whole step is elementwise in the batch
+    axis, so XLA partitions it with zero collectives (verified by the
+    HLO check in `bench_mesh.py`). With `with_metrics=True` EVERY
+    backend routes through `shard_map` — the `pmean` metric reduction
+    needs a named mesh axis, which only shard_map provides.
 
     The Pallas kernel backends go through `shard_map` instead: a
     `pallas_call` lowers to a TPU custom call for which GSPMD has no

@@ -103,3 +103,32 @@ def test_hover_equilibrium():
     x[5] = 0.55
     xdot = np.asarray(srbd.dynamics_rhs(lin, jnp.asarray(x), jnp.asarray(u)))
     np.testing.assert_allclose(xdot, 0.0, atol=1e-12)
+
+
+def test_mixed_dtype_leaves_no_future_warning():
+    """f64 residual/parameter leaves into an f32 model must not rely on
+    scatter promotion (jax FutureWarning, future hard error): the builder
+    casts every SrbdLin leaf to the rot_body dtype (VERDICT r3 item 8)."""
+    import warnings
+
+    lin64 = _lin(dtype=jnp.float64)
+    lin_mixed = lin64._replace(rot_body=jnp.asarray(lin64.rot_body, jnp.float32))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", FutureWarning)
+        dyn = srbd.discrete_dynamics(lin_mixed, jnp.float32(0.025))
+    assert dyn.A.dtype == jnp.float32
+    assert dyn.B.dtype == jnp.float32
+    assert dyn.c.dtype == jnp.float32
+    # And the cast is value-faithful: f32 build == f64 build downcast.
+    import jax
+
+    lin32 = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.float32), lin64
+    )
+    dyn32 = srbd.discrete_dynamics(lin32, jnp.float32(0.025))
+    np.testing.assert_allclose(
+        np.asarray(dyn.A), np.asarray(dyn32.A), rtol=1e-6, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(dyn.c), np.asarray(dyn32.c), rtol=1e-6, atol=1e-7
+    )
