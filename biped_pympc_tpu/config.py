@@ -81,6 +81,13 @@ class MPCConf:
     # mode. Flag-tol calibration measured in BENCH.md "hybrid flag".
     hybrid_budget: int = 0
     hybrid_flag_tol: float = 1.0
+    # Hybrid flag criterion: "resid" = the solver's own final residual
+    # criterion (one Newton step stale; blind to the f32 condensation
+    # error — Spearman vs true error 0.51-0.64, BENCH.md "hybrid flag");
+    # "kkt" = the TRUE KKT residual of the returned iterate under the
+    # exact operator (one vmapped operator apply, `pdipm.kkt_error`) —
+    # the round-4 calibration data lives in BENCH.md.
+    hybrid_flag: Literal["resid", "kkt"] = "resid"
     robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
     # `mpc_controller_cusadi.py:28,144`).
@@ -141,6 +148,16 @@ class MPCConf:
     # homogeneous well-conditioned workloads with a calibrated tol.
     adaptive_tol: float = 0.0
     adaptive_chunk: int = 5
+    # Jacobi KKT equilibration of the per-stage factorizations ("ric"/
+    # "ric_aug" families, pure-JAX and Pallas): the stage blocks are
+    # congruence-scaled to ~unit diagonal before elimination and unscaled
+    # after (K^-1 = D (D K D)^-1 D, exact). Pure factorization
+    # preconditioning — iterates are algebraically the reference's at
+    # every step; only f32 rounding changes. Measured round 4 (BENCH.md):
+    # neutral at refine_steps=1 on the robust default (already covered by
+    # refinement), stress tail 14.2 -> 2.2 N at refine_steps=0, and it is
+    # what makes corrector_form="aff_ref" viable (15.1 -> 0.6 N).
+    solver_kkt_scale: Literal["none", "jacobi"] = "none"
     # Euler-rate convention; see `models/srbd.py` docstring. "rt_omega"
     # matches the shipped CUDA path, "r_omega" the CPU CasADi source.
     euler_rate_mode: Literal["rt_omega", "r_omega"] = "rt_omega"

@@ -122,6 +122,7 @@ class BipedControllerCore:
             delta=mpc_cfg.solver_delta,
             backend=backend,
             refine_steps=mpc_cfg.solver_refine_steps,
+            kkt_scale=mpc_cfg.solver_kkt_scale,
             foot_split=mpc_cfg.solver_foot_split
             and backend in ("ric", "ric_aug"),
             # solver_foot_pack last so its value (True | "apply") survives
@@ -301,6 +302,7 @@ class BipedControllerCore:
                     qp, self.opts,
                     budget=self.mpc_cfg.hybrid_budget,
                     flag_tol=self.mpc_cfg.hybrid_flag_tol,
+                    flag=self.mpc_cfg.hybrid_flag,
                 )
             elif adaptive:
                 sol = pdipm_pallas.solve_adaptive(

@@ -153,6 +153,17 @@ class PdipmOptions(NamedTuple):
     # vs one 14-wide GJ) / ~7.8x ("ric_aug": two 12-wide vs one 30-wide);
     # per-foot partial pivoting retains the augmented form's f32
     # robustness (pivoting across exactly-decoupled blocks is vacuous).
+    kkt_scale: str = "none"  # "none" | "jacobi". Jacobi (symmetric diagonal)
+    # equilibration of the per-stage KKT block INVERSES: the block is
+    # congruence-scaled to ~unit diagonal (K_hat = D K D, D = rsqrt(|diag|))
+    # before elimination and the inverse unscaled after (K^-1 = D K_hat^-1 D).
+    # Pure preconditioning of the factorization — iterates are algebraically
+    # identical to the reference rule at every step; only f32 rounding
+    # changes. This is the standard IPM treatment for the scale-spread
+    # pathologies behind every recorded f32 accuracy failure (1e8-scale
+    # condensed W blocks, R ~ 1e-5 u pivots vs O(1) couplings). Applies to
+    # the "ric"/"ric_aug" stage inverses; "ric_aug_core" embeds its own
+    # static u-scaling and ignores this knob. Measured A/B in BENCH.md r4.
     interpret: "bool | None" = None  # Pallas kernels only: None (default)
     # derives the Pallas interpret flag from `jax.default_backend()` at
     # trace time; an explicit True/False overrides it — needed when the
@@ -688,6 +699,23 @@ _FS_AUG_BLOCKS = (
 )
 
 
+def _jacobi_scaled(inverse_fn, k: jnp.ndarray, opts: PdipmOptions):
+    """Compute K^-1 for (T, n, n) blocks through a Jacobi-equilibrated form.
+
+    K_hat = D K D with D = rsqrt(|diag K|) has ~unit diagonal, so the
+    elimination's pivot growth is bounded by the block's true conditioning
+    rather than its raw scale spread (diag entries here span R+beta ~ 1e-5
+    to condensed-W ~ 1e8). K^-1 = D K_hat^-1 D exactly; at f64 this is a
+    no-op up to roundoff (pinned by tests), at f32 it changes which digits
+    survive. `inverse_fn` maps (T, n, n) -> (T, n, n)."""
+    if opts.kkt_scale != "jacobi":
+        return inverse_fn(k)
+    dia = jnp.abs(jnp.diagonal(k, axis1=-2, axis2=-1))
+    dsc = jax.lax.rsqrt(jnp.maximum(dia, 1e-30))
+    k_hat = k * dsc[..., :, None] * dsc[..., None, :]
+    return inverse_fn(k_hat) * dsc[..., :, None] * dsc[..., None, :]
+
+
 def _blockwise_inverse(k, blocks, inv):
     """Invert (T, n, n) blockwise given exact decoupling; returns dense.
 
@@ -727,9 +755,11 @@ def _factor_ric(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
         -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
     )
     if opts.foot_split:
-        k_inv = _blockwise_inverse(k, _FS_RIC_BLOCKS, inv)
+        k_inv = _jacobi_scaled(
+            lambda m: _blockwise_inverse(m, _FS_RIC_BLOCKS, inv), k, opts
+        )
     else:
-        k_inv = jax.vmap(inv)(k)  # (T, 14, 14) — independent across stages
+        k_inv = _jacobi_scaled(jax.vmap(inv), k, opts)  # (T, 14, 14)
 
     y_blk = -opts.delta * jnp.eye(NX, dtype=dtype) - jnp.diag(q_inv)
     adqad = Ad @ jnp.diag(q_inv) @ Ad.T
@@ -835,9 +865,11 @@ def _factor_ric_aug(qp: StageQP, w_diag: jnp.ndarray, opts: PdipmOptions):
         -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
     )
     if opts.foot_split:
-        k_inv = _blockwise_inverse(k, _FS_AUG_BLOCKS, inv)
+        k_inv = _jacobi_scaled(
+            lambda m: _blockwise_inverse(m, _FS_AUG_BLOCKS, inv), k, opts
+        )
     else:
-        k_inv = jax.vmap(inv)(k)  # (T, 30, 30) — independent across stages
+        k_inv = _jacobi_scaled(jax.vmap(inv), k, opts)  # (T, 30, 30)
 
     y_blk = -opts.delta * jnp.eye(NX, dtype=dtype) - jnp.diag(q_inv)
     adqad = Ad @ jnp.diag(q_inv) @ Ad.T
@@ -909,6 +941,163 @@ def _solve_ric_aug(qp: StageQP, factors, r1, r_z, r4):
     return dxz, dz, dyv
 
 
+# --- Scaled Riccati-core augmented backend ("ric_aug_core") ------------------
+#
+# The round-4 answer to the two levers BENCH.md r3 left on the table (KKT
+# equilibration + the 12-wide Riccati-core elimination), composed into one
+# factorization. Scale the inputs u = C u_hat with C = diag(1/sqrt(R+beta)):
+# the augmented stage block becomes
+#
+#     K_hat = [[I, V^T], [V, -Wfull]],   V = [G_u C; E C] (18 x 12),
+#     Wfull = diag(w_diag (16), delta, delta)
+#
+# whose u block is the IDENTITY — eliminating u first is now exact (no pivot
+# search: the Schur complement S = -(Wfull + V V^T) is symmetric NEGATIVE
+# definite, so the remaining elimination is Cholesky-stable in natural
+# order). Unlike the condensed G^T W^-1 G (which SUMS extreme W scales into
+# dense entries and is what costs the condensed kernels their f32 tails),
+# here every extreme scale stays on its own diagonal of S: the off-diagonal
+# entries of S are pure O(1) geometry (g_i . g_j), W appears only on the
+# diagonal — the f32-robustness property of the augmented form survives the
+# elimination. Per-stage factor work drops from one 30-wide (or two 12-wide
+# pivoted, foot-split) GJ to two 8-wide no-pivot GJs: V's z rows touch only
+# u columns {F, M_y} of their OWN foot and the Mx/nu rows only column M_x,
+# so S is block-diagonal [8x8 foot L, 8x8 foot R, scalar, scalar] exactly.
+#
+#     K_hat^-1 = [[I + V^T S^-1 V,  -V^T S^-1],
+#                 [-S^-1 V,          S^-1    ]],   K^-1 = D K_hat^-1 D
+#
+# with D = blkdiag(C, I). Algebraically identical to "ric_aug"/"tridiag_aug"
+# (same regularized system, exact block elimination), so f64 iterates match
+# the golden solver to roundoff; reference rule per
+# `sparse_pdipm_solver.py:404-439`.
+
+N_VC = N_INEQ_PER_STAGE + N_MX_PER_STAGE  # 18 coupled constraint rows
+
+# S block structure (exact): per-foot z rows + the two nu scalars.
+_CORE_S_BLOCKS = (tuple(range(8)), tuple(range(8, 16)), (16,), (17,))
+
+
+def _core_vmat(qp: StageQP, opts: PdipmOptions):
+    """(18, 12) scaled constraint matrix V = [G_u C; E C] and c_u = diag(C)."""
+    dtype = qp.f.dtype
+    c_u = jax.lax.rsqrt(qp.r_diag + opts.beta)
+    v = jnp.zeros((N_VC, NU), dtype=dtype)
+    v = v.at[:N_INEQ_PER_STAGE].set(qp.g_u * c_u[None, :])
+    for r, c in _E_SEL_ROWS:
+        v = v.at[N_INEQ_PER_STAGE + r, c].set(c_u[c])
+    return v, c_u
+
+
+def _factor_ric_aug_core(qp: StageQP, w_diag: jnp.ndarray, opts: PdipmOptions):
+    """w_diag: (T, 16) = Sigma^-1 + delta per inequality row."""
+    T = qp.horizon
+    dtype = qp.f.dtype
+    Ad, Bd, _ = qp.dyn
+    q_inv = 1.0 / (qp.q_diag + opts.beta)
+
+    inv = gauss_jordan_inverse if opts.inv_impl == "gj" else jnp.linalg.inv
+
+    v, c_u = _core_vmat(qp, opts)
+    wfull = jnp.concatenate(
+        [w_diag, jnp.full((T, N_MX_PER_STAGE), opts.delta, dtype=dtype)],
+        axis=1,
+    )  # (T, 18)
+    vvt = v @ v.T  # (18, 18) static across stages
+    s = -(vvt[None] + jnp.zeros((T, 1, 1), dtype=dtype))
+    ii = jnp.arange(N_VC)
+    s = s.at[:, ii, ii].add(-wfull)
+    if opts.foot_split:
+        s_inv = _blockwise_inverse(s, _CORE_S_BLOCKS, inv)
+    else:
+        s_inv = jax.vmap(inv)(s)  # (T, 18, 18) negative definite
+
+    # kuu_hat = I + V^T S^-1 V  (12x12, SPD); y-chain uses the C-conjugated
+    # coupling Bd_hat = Bd C so no unscaled kuu is ever materialized.
+    vs = jnp.einsum("tij,jk->tik", s_inv, v)  # (T, 18, 12) = S^-1 V
+    kuu_hat = jnp.eye(NU, dtype=dtype)[None] + jnp.einsum("ji,tjk->tik", v, vs)
+    bd_hat = Bd * c_u[None, :]
+
+    y_blk = -opts.delta * jnp.eye(NX, dtype=dtype) - jnp.diag(q_inv)
+    adqad = Ad @ jnp.diag(q_inv) @ Ad.T
+    yp = jnp.broadcast_to(y_blk, (T, NX, NX)) - jnp.where(
+        jnp.arange(T)[:, None, None] >= 1, adqad[None], 0.0
+    )
+    yp = yp - jnp.einsum("ij,tjk,lk->til", bd_hat, kuu_hat, bd_hat)
+
+    s_coup = jnp.diag(q_inv) @ Ad.T
+
+    def chain(m_prev_inv, yp_t):
+        yhat = yp_t - s_coup.T @ m_prev_inv @ s_coup
+        yhat_inv = inv(yhat)
+        return yhat_inv, yhat_inv
+
+    _, yhat_inv = jax.lax.scan(chain, 0.0 * yp[0], yp)
+    return s_inv, v, c_u, kuu_hat, bd_hat, yhat_inv, q_inv, s_coup
+
+
+def _core_kinv_apply(s_inv, v, r_uh, r_zn):
+    """K_hat^-1 [r_uh; r_zn] -> (du_hat (T,12), dzn (T,18))."""
+    t = jnp.einsum("tij,tj->ti", s_inv, jnp.einsum("ij,tj->ti", v, r_uh) - r_zn)
+    du_hat = r_uh + jnp.einsum("ji,tj->ti", v, t)
+    return du_hat, -t
+
+
+def _solve_ric_aug_core(qp: StageQP, factors, r1, r_z, r4):
+    """Returns (dxz (nz,), dz (ni,), dyv (ne,)) like `_solve_ric_aug`."""
+    T = qp.horizon
+    Ad, Bd, _ = qp.dyn
+    s_inv, v, c_u, kuu_hat, bd_hat, yhat_inv, q_inv, s_coup = factors
+
+    c = r1[: NX * T].reshape(T, NX)
+    ru = r1[NX * T:].reshape(T, NU)
+    g = r4[: NX * T].reshape(T, NX)
+    rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE)
+    rz = r_z.reshape(T, N_INEQ_PER_STAGE)
+    ry = g - q_inv[None] * c
+    ry = ry.at[1:].add((Ad @ (q_inv[:, None] * c[:-1].T)).T)
+
+    r_uh = ru * c_u[None, :]
+    r_zn = jnp.concatenate([rz, rnu], axis=1)  # (T, 18)
+
+    # Fold the [u, z, nu] rhs into the y rows: r'_y = ry + (K^-1 r)_u Bd^T
+    # = ry + (K_hat^-1 r_hat)_u Bd_hat^T.
+    du_hat0, _ = _core_kinv_apply(s_inv, v, r_uh, r_zn)
+    r_y2 = ry + du_hat0 @ bd_hat.T
+
+    def fwd(carry, inp):
+        prev_inv, g_prev = carry
+        r_t, yinv_t = inp
+        g_t = r_t - s_coup.T @ (prev_inv @ g_prev)
+        return (yinv_t, g_t), g_t
+
+    (_, _), gg = jax.lax.scan(
+        fwd, (0.0 * yhat_inv[0], 0.0 * r_y2[0]), (r_y2, yhat_inv)
+    )
+
+    def bwd(y_next, inp):
+        g_t, yinv_t = inp
+        y_t = yinv_t @ (g_t - s_coup @ y_next)
+        return y_t, y_t
+
+    _, wy = jax.lax.scan(bwd, 0.0 * gg[0], (gg, yhat_inv), reverse=True)
+
+    # Back-substitute [u, z, nu]: rhs_u picks up the dual coupling F^T y.
+    r_uh2 = r_uh + wy @ bd_hat
+    du_hat, dzn = _core_kinv_apply(s_inv, v, r_uh2, r_zn)
+    du = du_hat * c_u[None, :]
+
+    xs = q_inv[None] * (c - wy)
+    xs = xs.at[:-1].add(q_inv[None] * (wy[1:] @ Ad))
+
+    dxz = jnp.concatenate([xs.reshape(-1), du.reshape(-1)])
+    dz = dzn[:, :N_INEQ_PER_STAGE].reshape(-1)
+    dyv = jnp.concatenate(
+        [wy.reshape(-1), dzn[:, N_INEQ_PER_STAGE:].reshape(-1)]
+    )
+    return dxz, dz, dyv
+
+
 # ---------------------------------------------------------------------------
 # Main iteration.
 # ---------------------------------------------------------------------------
@@ -930,9 +1119,14 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
     if opts.sigma_cap > 0.0:
         sigma_d = jnp.minimum(sigma_d, opts.sigma_cap)
 
-    if opts.backend in ("tridiag_aug", "ric_aug"):
+    if opts.backend in ("tridiag_aug", "ric_aug", "ric_aug_core"):
         w_diag = 1.0 / sigma_d + opts.delta  # W = Sigma^-1 + delta
-        if opts.backend == "ric_aug":
+        if opts.backend == "ric_aug_core":
+            factors = _factor_ric_aug_core(
+                qp, w_diag.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
+            )
+            solve_aug = functools.partial(_solve_ric_aug_core, qp, factors)
+        elif opts.backend == "ric_aug":
             factors = _factor_ric_aug(
                 qp, w_diag.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
             )
@@ -1094,6 +1288,28 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
         0, opts.iterations, body, (state, residuals0)
     )
     return PdipmResult(st.x, st.s, st.z, st.y, residuals)
+
+
+def kkt_error(qp: StageQP, res: PdipmResult) -> jnp.ndarray:
+    """(4,) TRUE KKT residual inf-norms of a solution — ONE operator apply,
+    no factorization. Single env; vmap over the batch.
+
+    Components: [||H x + f + G^T z + A^T y||_inf, ||G x + s - d||_inf,
+    ||A x - b||_inf, ||s o z||_inf]. Unlike `PdipmResult.residuals` (2-norms
+    evaluated at the START of the final Newton step — one step stale, and
+    computed INSIDE the solver whose f32 condensation error they cannot
+    see), this measures the returned iterate directly under the exact
+    operator, so condensation loss shows up as stationarity/complementarity
+    residual. Round-4 hybrid flag criterion (VERDICT r3 item 3); the role
+    OSQP's eps_abs=1e-12 cross-check plays in the reference
+    (`mpc_controller_osqp.py:85`)."""
+    hd = qps.h_diag(qp)
+    rx = hd * res.x + qp.f + qps.gT_matvec(qp, res.z) + qps.aT_matvec(qp, res.y)
+    re = qps.a_matvec(qp, res.x) - qps.b_vec(qp)
+    rs = qps.g_matvec(qp, res.x) + res.s - qps.d_vec(qp)
+    comp = res.s * res.z
+    inf = lambda v: jnp.max(jnp.abs(v))
+    return jnp.stack([inf(rx), inf(rs), inf(re), inf(comp)])
 
 
 def solve_adaptive_batch(qp, opts: PdipmOptions = PdipmOptions(),

@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from biped_pympc_tpu.ops import qp as qps
 from biped_pympc_tpu.ops.pdipm import (
     PdipmOptions, PdipmResult, PdipmState, _bcr_schedule, init_state,
+    kkt_error as pdipm_kkt_error,
 )
 from biped_pympc_tpu.ops.qp import NU, NX, N_INEQ_PER_STAGE, N_MX_PER_STAGE, StageQP
 
@@ -329,6 +330,22 @@ def _pdipm_kernel(
         if opts.gj_form == "inplace"
         else _gj_inverse_nopivot
     )
+
+    def jacobi_scaled(gj, k_st):
+        """`opts.kkt_scale == "jacobi"`: invert through the symmetric
+        diagonally-equilibrated form K_hat = D K D, D = rsqrt(|diag K|)
+        (K^-1 = D K_hat^-1 D exactly; see PdipmOptions.kkt_scale). Pure
+        factorization preconditioning — the reference iterate rule is
+        untouched. k_st: lane-stacked (n, n, L)."""
+        if opts.kkt_scale != "jacobi":
+            return gj(k_st)
+        n = k_st.shape[0]
+        dia = jnp.concatenate(
+            [jnp.abs(k_st[i, i])[None, :] for i in range(n)], axis=0
+        )  # (n, L)
+        dsc = jax.lax.rsqrt(jnp.maximum(dia, 1e-30))
+        k_hat = k_st * dsc[:, None, :] * dsc[None, :, :]
+        return gj(k_hat) * dsc[:, None, :] * dsc[None, :, :]
 
     hd = hd_ref[...]  # (nz, B)
     f = f_ref[...]
@@ -843,7 +860,7 @@ def _pdipm_kernel(
             return (kinv,) + _ric_tail_bkb(bkb_st)
 
         # ONE 4-wide no-pivot GJ over [L stages | R stages] lanes (SPD).
-        k4_inv = gj_nopivot(jnp.concatenate(ksL + ksR, axis=-1))
+        k4_inv = jacobi_scaled(gj_nopivot, jnp.concatenate(ksL + ksR, axis=-1))
         L = T * bt
         k4L_inv_st = k4_inv[..., :L]
         k4R_inv_st = k4_inv[..., L:]
@@ -957,7 +974,8 @@ def _pdipm_kernel(
             return (kinv_from(apply_lr),) + _ric_tail_bkb(bkb_st)
 
         aug_gj = _gj_inverse if opts.aug_pivot else gj_nopivot
-        ka_inv = aug_gj(jnp.concatenate(ksL + ksR, axis=-1))  # (12,12,2T*bt)
+        ka_inv = jacobi_scaled(
+            aug_gj, jnp.concatenate(ksL + ksR, axis=-1))  # (12,12,2T*bt)
         L = T * bt
         kaL_inv_st = ka_inv[..., :L]
         kaR_inv_st = ka_inv[..., L:]
@@ -990,7 +1008,7 @@ def _pdipm_kernel(
                 axis=0,
             )
             ks.append(gtwg + eye12 * (r_diag[:, None, :] + opts.beta))
-        ru_inv_st = gj_nopivot(jnp.concatenate(ks, axis=-1))
+        ru_inv_st = jacobi_scaled(gj_nopivot, jnp.concatenate(ks, axis=-1))
 
         # E Ru^-1 (2, 12, T*bt) and S^-1 (2, 2, T*bt) in closed form.
         erui_st = jnp.concatenate(
@@ -1052,7 +1070,8 @@ def _pdipm_kernel(
         # (SPD leading-block growth factor 1); opts.k_pivot restores the
         # searched form for diagnostics.
         k_gj = _gj_inverse if opts.k_pivot else gj_nopivot
-        k_inv_st = k_gj(jnp.concatenate(ks, axis=-1))  # (14,14,T*bt)
+        k_inv_st = jacobi_scaled(
+            k_gj, jnp.concatenate(ks, axis=-1))  # (14,14,T*bt)
 
         kinv = lambda r: _mv(k_inv_st, r)
         # Y'_t = Y_t - Bd (K_t^-1)_uu Bd^T, batched across stages in lanes.
@@ -1167,7 +1186,8 @@ def _pdipm_kernel(
         # keeps the z pivots O(1) even where W_ii ~ 1e-8 (opts.aug_pivot
         # retains the searched form).
         aug_gj = _gj_inverse if opts.aug_pivot else gj_nopivot
-        k_inv_st = aug_gj(jnp.concatenate(ks, axis=-1))  # (30,30,T*bt)
+        k_inv_st = jacobi_scaled(
+            aug_gj, jnp.concatenate(ks, axis=-1))  # (30,30,T*bt)
 
         kuu_st = k_inv_st[:NU, :NU, :]
         bd_st = jnp.concatenate([bd] * T, axis=-1)
@@ -1752,6 +1772,7 @@ def solve_hybrid(
     flag_tol: float = 1.0,
     tile: int = 128,
     aug_opts: PdipmOptions | None = None,
+    flag: str = "resid",
 ) -> PdipmResult:
     """Fast condensed solve everywhere + robust re-solve of flagged envs.
 
@@ -1792,12 +1813,24 @@ def solve_hybrid(
     of non-finite envs (ranked +inf, they claim budget slots first); a
     fixed budget below the workload's non-finite count silently returns
     the excess NaN envs unmerged. Keep the auto size unless measured.
+    `flag` selects the flag criterion:
+      * "resid" (round-3 behavior): the solver's own final residual
+        criterion max over `PdipmResult.residuals` — 2-norms, one Newton
+        step STALE, and blind to the f32 condensation error (measured
+        Spearman vs true error 0.51-0.64, BENCH.md "hybrid flag").
+      * "kkt": the TRUE KKT residual of the returned iterate under the
+        exact operator (`pdipm.kkt_error`, one vmapped operator apply —
+        no factorization); measures directly what condensation lost.
+        Round-4 calibration data in BENCH.md.
     """
     batch = qp.f.shape[0]
     if budget is None or budget <= 0:
         budget = max(64, batch // 32)
     res = solve(qp, opts, tile)
-    crit = jnp.max(res.residuals, axis=1)  # (B,)
+    if flag == "kkt":
+        crit = jnp.max(jax.vmap(pdipm_kkt_error)(qp, res), axis=1)  # (B,)
+    else:
+        crit = jnp.max(res.residuals, axis=1)  # (B,)
     # Non-finite envs must ALWAYS be flagged. Two distinct holes, both
     # closed by ranking them as +inf: (a) a NaN criterion fails every
     # comparison, so a plain `vals > flag_tol` gate would silently KEEP

@@ -294,3 +294,77 @@ def test_foot_split_exactness():
         np.testing.assert_array_equal(np.asarray(base.x), np.asarray(split.x))
         np.testing.assert_array_equal(np.asarray(base.z), np.asarray(split.z))
         np.testing.assert_array_equal(np.asarray(base.y), np.asarray(split.y))
+
+
+def test_jacobi_kkt_scale_is_exact_preconditioning():
+    """kkt_scale="jacobi" must change NOTHING algebraically: at f64 the
+    scaled factorization reproduces the unscaled iterates to roundoff
+    (K^-1 = D (D K D)^-1 D exactly — VERDICT r3 item 1)."""
+    qp = _make_qp(seed=5, contact=np.concatenate(
+        [np.tile([[1.0, 0.0]], (5, 1)), np.tile([[0.0, 1.0]], (5, 1))]))
+    # Tolerance note: the identity is exact PER FACTORIZATION; over 20
+    # Newton steps the per-solve f64 roundoff (~1e-16 x the condensed
+    # blocks' 1e8 scale on this contact-chattering problem) is amplified
+    # by the iteration dynamics — measured drift <= 4e-6 (condensed),
+    # <= 1e-11 (augmented, walking problems).
+    for backend, split in [("ric", False), ("ric_aug", False),
+                           ("ric_aug", True)]:
+        base = pdipm.PdipmOptions(backend=backend, foot_split=split)
+        r0 = pdipm.solve(qp, base)
+        r1 = pdipm.solve(qp, base._replace(kkt_scale="jacobi"))
+        for f0, f1 in zip(r0, r1):
+            np.testing.assert_allclose(
+                np.asarray(f0), np.asarray(f1), rtol=1e-6, atol=1e-4,
+                err_msg=f"{backend} split={split}")
+
+
+def test_ric_aug_core_solve_matches_ric_aug():
+    """The scaled Riccati-core factorization is the SAME block elimination
+    as ric_aug (per-solve parity ~1e-12 at f64); it is REJECTED as a
+    product backend because its u-first Schur complement S = -(W + V V^T)
+    is rank-deficient on swing feet (all 8 inequality rows active with a
+    rank-4 per-foot G) — explicit S^-1 loses the solution there, measured
+    as NaN at f32 and ~0.5 end-to-end drift at f64 (BENCH.md round 4)."""
+    from biped_pympc_tpu.ops.pdipm import (
+        PdipmState, _factor_ric_aug, _solve_ric_aug,
+        _factor_ric_aug_core, _solve_ric_aug_core, N_INEQ_PER_STAGE)
+
+    qp = _make_qp(seed=3)
+    opts = pdipm.PdipmOptions(backend="ric_aug")
+    res = pdipm.solve(qp, opts._replace(iterations=15))
+    sigma_d = res.z / res.s + opts.delta
+    w_diag = (1.0 / sigma_d + opts.delta).reshape(T, N_INEQ_PER_STAGE)
+
+    fa = _factor_ric_aug(qp, w_diag, opts)
+    fc = _factor_ric_aug_core(qp, w_diag, opts)
+    rng = np.random.default_rng(0)
+    r1 = jnp.asarray(rng.standard_normal(qp.nz))
+    rz = jnp.asarray(rng.standard_normal(qp.n_ineq))
+    r4 = jnp.asarray(rng.standard_normal(qp.n_eq))
+    xa = _solve_ric_aug(qp, fa, r1, rz, r4)
+    xc = _solve_ric_aug_core(qp, fc, r1, rz, r4)
+    for a, c in zip(xa, xc):
+        scale = np.abs(np.asarray(a)).max()
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=0, atol=1e-8 * max(scale, 1.0))
+
+
+def test_kkt_error_criterion():
+    """kkt_error must be ~0 at a converged solution and large at a
+    perturbed one (the round-4 hybrid flag criterion)."""
+    qp = _make_qp()
+    # At the reference's fixed 20-iteration cap the iterate is NOT fully
+    # converged (mu ~ 2e-3, stationarity ~ 0.5 in cost-gradient units);
+    # more iterations drive the criterion down — that monotonicity plus
+    # separation from a corrupted solution is what the flag needs.
+    res20 = pdipm.solve(qp, pdipm.PdipmOptions(backend="tridiag_aug"))
+    e20 = np.asarray(pdipm.kkt_error(qp, res20))
+    assert e20.shape == (4,)
+    res40 = pdipm.solve(
+        qp, pdipm.PdipmOptions(backend="tridiag_aug", iterations=40))
+    e40 = np.asarray(pdipm.kkt_error(qp, res40))
+    assert float(e40.max()) < float(e20.max())
+    assert float(e40[:3].max()) < 1e-4, e40
+    bad = res20._replace(x=res20.x + 1.0)
+    eb = np.asarray(pdipm.kkt_error(qp, bad))
+    assert float(eb[:3].max()) > 10.0 * float(e20[:3].max()), (eb, e20)

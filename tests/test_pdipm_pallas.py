@@ -356,3 +356,19 @@ def test_pallas_foot_split_matches_dense(interpret_pallas):
         np.testing.assert_allclose(
             np.asarray(res_split.x), np.asarray(ref.x),
             rtol=1e-12, atol=1e-12)
+
+
+def test_pallas_kernel_jacobi_scale(interpret_pallas):
+    """Jacobi-equilibrated kernel factorizations reproduce the pure-JAX
+    scaled solver exactly at f64 (round-4 kkt_scale lever)."""
+    qs = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    for backend, split in [("ric", False), ("ric_aug", True)]:
+        opts = pdipm.PdipmOptions(
+            backend=backend, foot_split=split, refine_steps=1, iterations=2,
+            kkt_scale="jacobi")
+        res_k = pp.solve(batch, opts, tile=4)
+        ref = jax.vmap(lambda q: pdipm.solve(q, opts))(batch)
+        np.testing.assert_allclose(
+            np.asarray(res_k.x), np.asarray(ref.x), rtol=1e-9, atol=1e-10,
+            err_msg=f"{backend} split={split}")
