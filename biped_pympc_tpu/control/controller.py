@@ -59,6 +59,14 @@ class ControllerState(NamedTuple):
     mpc_cost: jnp.ndarray  # (B,)
     contact_phase: jnp.ndarray  # (B, 2)
     swing_phase: jnp.ndarray  # (B, 2)
+    # Learned dynamics-residual matrices (the reference's unimplemented
+    # `set_srbd_residual`, `mpc_wrapper.py:66-67`). None (default) keeps
+    # the residual-free program; set via MPCController.set_srbd_residual.
+    # Note switching None <-> arrays changes the pytree structure, so the
+    # step functions recompile once on first use (by design: the zero-
+    # residual path stays byte-identical to a build without the feature).
+    residual_A: jnp.ndarray | None = None  # (B, 12, 12)
+    residual_B: jnp.ndarray | None = None  # (B, 12, 12)
 
 
 class BipedControllerCore:
@@ -271,15 +279,17 @@ class BipedControllerCore:
             contact_frame=self.mpc_cfg.contact_frame,
         )
         return jax.vmap(
-            lambda mem, est, des, ct, dtm, rl, ra, mu, fmax: build(
+            lambda mem, est, des, ct, dtm, rl, ra, mu, fmax, ra_mat, rb_mat:
+            build(
                 mem, est, des, ct, dtm,
                 residual_lin_accel=rl, residual_ang_accel=ra,
                 mu=mu, f_max=fmax,
+                residual_A=ra_mat, residual_B=rb_mat,
             )
         )(
             state.mpc_mem, state.est, state.des, contact_table,
             state.dt_mpc, state.residual_lin_accel, state.residual_ang_accel,
-            state.mu, state.f_max,
+            state.mu, state.f_max, state.residual_A, state.residual_B,
         )
 
     @functools.partial(jax.jit, static_argnums=0)

@@ -148,11 +148,18 @@ def build_mpc_qp(
     f_max=qps.F_MAX,
     mu=None,
     contact_frame: str = "world",
+    residual_A=None,
+    residual_B=None,
 ):
     """Per-env QP assembly half of the MPC step (vmapped by the caller).
 
     f_max and mu may be Python floats or per-env traced scalars (DRL /
     domain-randomization knobs); mu=None uses the robot's default.
+
+    residual_A / residual_B: optional (12, 12) learned dynamics residuals
+    added to the continuous-time SRBD linearization before discretization
+    (the reference's declared-but-unbuilt `set_srbd_residual` interface,
+    `mpc_wrapper.py:66-67`). None keeps the exact residual-free program.
 
     contact_frame: "world" (reference parity) keeps the contact constraint
     rows in fixed world axes — the reference's Mx=0 equality and toe/heel
@@ -185,6 +192,8 @@ def build_mpc_qp(
         mass=jnp.asarray(robot.mass, dtype=dtype),
         residual_lin_accel=residual_lin_accel,
         residual_ang_accel=residual_ang_accel,
+        residual_A=residual_A,
+        residual_B=residual_B,
     )
     x0 = jnp.concatenate(
         [est.root_euler, est.root_position, est.root_angular_velocity_w,
@@ -287,6 +296,8 @@ def solve_mpc(
     opts: pdipm.PdipmOptions,
     euler_rate_mode: str = "rt_omega",
     f_max: float = qps.F_MAX,
+    residual_A=None,
+    residual_B=None,
 ):
     """Full MPC step for one env (`mpc_controller_cusadi.py:43-205`).
 
@@ -309,6 +320,8 @@ def solve_mpc(
         mass=jnp.asarray(robot.mass, dtype=dtype),
         residual_lin_accel=residual_lin_accel,
         residual_ang_accel=residual_ang_accel,
+        residual_A=residual_A,
+        residual_B=residual_B,
     )
     x0 = jnp.concatenate(
         [est.root_euler, est.root_position, est.root_angular_velocity_w,

@@ -44,7 +44,15 @@ class SrbdLin(NamedTuple):
     """Linearization point / parameters of the affine SRBD model (single env).
 
     Mirrors the parameter vector of the reference qp_former
-    (`srbd_constraints.py:34-47`).
+    (`srbd_constraints.py:34-47`), plus the learned dynamics-residual
+    matrices the reference *declares* but never implements
+    (`mpc_wrapper.py:66-67` raises NotImplementedError): `residual_A` /
+    `residual_B` are added to the continuous-time A / B blocks BEFORE
+    discretization, so an RL policy can inject state- and input-dependent
+    model corrections (not just the constant acceleration residuals).
+    `None` (the default) keeps the exact unmodified dynamics path — the
+    residual-free program is structurally identical to one without the
+    feature.
     """
 
     rot_body: jnp.ndarray  # (3, 3) body-to-world rotation R
@@ -54,6 +62,8 @@ class SrbdLin(NamedTuple):
     mass: jnp.ndarray  # () scalar
     residual_lin_accel: jnp.ndarray  # (3,)
     residual_ang_accel: jnp.ndarray  # (3,)
+    residual_A: jnp.ndarray | None = None  # (12, 12) added to continuous A
+    residual_B: jnp.ndarray | None = None  # (12, 12) added to continuous B
 
 
 class AffineDynamics(NamedTuple):
@@ -115,6 +125,13 @@ def continuous_dynamics(lin: SrbdLin, euler_rate_mode: str = "rt_omega") -> Affi
     c = c.at[9:12].set(
         jnp.array([0.0, 0.0, -GRAVITY], dtype=dtype) + res_lin
     )
+    # Learned dynamics-residual matrices (the reference's unimplemented
+    # `set_srbd_residual` promise, `mpc_wrapper.py:66-67`): applied to the
+    # continuous-time model so RK4 discretization propagates them exactly.
+    if lin.residual_A is not None:
+        A = A + cast(lin.residual_A)
+    if lin.residual_B is not None:
+        B = B + cast(lin.residual_B)
     return AffineDynamics(A, B, c)
 
 

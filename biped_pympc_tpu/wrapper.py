@@ -110,7 +110,35 @@ class MPCController:
         )
 
     def set_srbd_residual(self, A_residual, B_residual) -> None:
-        raise NotImplementedError  # parity: `mpc_wrapper.py:66-67`
+        """Per-env learned dynamics residuals on the SRBD linearization.
+
+        The reference declares this hook and raises NotImplementedError
+        (`mpc_wrapper.py:66-67`); here it is real: A_residual / B_residual
+        are (B, 12, 12) matrices added to the continuous-time A / B blocks
+        before RK4 discretization (`models/srbd.py`), giving an RL policy
+        the full state/input-dependent model-correction interface on top
+        of the constant acceleration residuals (`set_srbd_accel`).
+
+        Pass None for both to clear back to the exact residual-free
+        program. First use (and clearing) changes the state pytree
+        structure, so the jitted step recompiles once.
+        """
+        if (A_residual is None) != (B_residual is None):
+            zeros = jnp.zeros(
+                (self.num_envs, 12, 12), self.state.gait_phase.dtype)
+            A_residual = zeros if A_residual is None else A_residual
+            B_residual = zeros if B_residual is None else B_residual
+        if A_residual is not None:
+            A_residual = jnp.asarray(A_residual)
+            B_residual = jnp.asarray(B_residual)
+            want = (self.num_envs, 12, 12)
+            if A_residual.shape != want or B_residual.shape != want:
+                raise ValueError(
+                    f"set_srbd_residual expects shapes {want}, got "
+                    f"{A_residual.shape} and {B_residual.shape}"
+                )
+        self.state = self.state._replace(
+            residual_A=A_residual, residual_B=B_residual)
 
     def set_contact_parameters(self, mu=None, f_max=None) -> None:
         """Per-env friction coefficient and per-foot vertical-force cap [N].

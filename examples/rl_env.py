@@ -19,6 +19,13 @@ Action layout (B, 10), all residuals on top of nominal values:
     [4:7]  residual linear acceleration  (+-1 m/s^2)
     [7:10] residual angular acceleration (+-1 rad/s^2)
 
+With `matrix_residual=True` the action grows to (B, 16) and the extra dims
+drive the (12, 12) SRBD A/B-matrix residuals (`set_srbd_residual` — the
+interface the reference declares but leaves NotImplemented,
+`mpc_wrapper.py:66-67`) through a compact diagonal parameterization:
+    [10:13] force-effectiveness residual  (+-30% of 1/m on the v_dot rows)
+    [13:16] moment-effectiveness residual (+-30% of I_b^-1 diag on omega rows)
+
 Episodes terminate on falls (|roll/pitch| > 0.5 or height out of range);
 fallen envs are masked-reset (controller + plant), demonstrating the per-env
 episodic reset path under batching.
@@ -41,9 +48,12 @@ from srbd_plant import SrbdPlant  # noqa: E402  (examples-local module)
 
 class RlMpcEnv:
     def __init__(self, num_envs: int = 16, vx_cmd: float = 0.3,
-                 solver: str = "tridiag_aug", seed: int = 0):
+                 solver: str = "tridiag_aug", seed: int = 0,
+                 matrix_residual: bool = False):
         self.num_envs = num_envs
         self.vx_cmd = vx_cmd
+        self.matrix_residual = matrix_residual
+        self.act_dim = 16 if matrix_residual else 10
         cfg = ControllerConf(ssp_durations=5, dsp_durations=0,
                              swing_height=0.08)
         self.mpc_cfg = MPCConf(solver=solver)
@@ -82,6 +92,24 @@ class RlMpcEnv:
             residual_lin_accel=1.0 * action[:, 4:7],
             residual_ang_accel=1.0 * action[:, 7:10],
         )
+        if self.matrix_residual:
+            # Diagonal parameterization of the B-matrix residual: the policy
+            # modulates how effective the model believes forces (v_dot rows)
+            # and moments (omega_dot rows) are, per axis, per env.
+            robot = self.ctrl.core.robot
+            b = self.num_envs
+            rb = np.zeros((b, 12, 12), np.float32)
+            f_scale = 0.3 / float(robot.mass)
+            i_inv_diag = 1.0 / np.diag(np.asarray(robot.i_body))
+            for k in range(3):
+                rb[:, 9 + k, 0 + k] = f_scale * action[:, 10 + k]
+                rb[:, 9 + k, 3 + k] = f_scale * action[:, 10 + k]
+                rb[:, 6 + k, 6 + k] = \
+                    0.3 * i_inv_diag[k] * action[:, 13 + k]
+                rb[:, 6 + k, 9 + k] = \
+                    0.3 * i_inv_diag[k] * action[:, 13 + k]
+            self.ctrl.set_srbd_residual(
+                np.zeros((b, 12, 12), np.float32), rb)
 
         for k in range(self.mpc_cfg.decimation):
             obs_vec = self.plant.observation()
@@ -137,7 +165,7 @@ if __name__ == "__main__":
     rng = np.random.default_rng(0)
     total = np.zeros(n)
     for t in range(steps):
-        action = 0.1 * rng.standard_normal((n, 10))  # random policy
+        action = 0.1 * rng.standard_normal((n, env.act_dim))  # random policy
         obs, reward, done, info = env.step(action)
         total += reward
         if t % 10 == 0:

@@ -32,6 +32,29 @@ def test_rl_env_steps_and_improves():
     assert rewards[-1] > rewards[0]
 
 
+def test_rl_env_matrix_residual_actions():
+    """matrix_residual=True extends the action space to drive the (12,12)
+    SRBD A/B residuals (`set_srbd_residual`) through the diagonal
+    effectiveness parameterization; walking stays finite and the residual
+    visibly changes the commanded wrench vs the zero-action baseline."""
+    env = RlMpcEnv(num_envs=2, vx_cmd=0.3, seed=0, matrix_residual=True)
+    env.reset()
+    assert env.act_dim == 16
+    act = np.zeros((2, 16))
+    obs, r, done, _ = env.step(act)
+    grf_zero = np.asarray(env.ctrl.grf_world).copy()
+    assert env.ctrl.state.residual_B is not None
+
+    env2 = RlMpcEnv(num_envs=2, vx_cmd=0.3, seed=0, matrix_residual=True)
+    env2.reset()
+    act2 = np.zeros((2, 16))
+    act2[:, 10:13] = 0.9  # forces believed ~27% stronger
+    obs2, r2, done2, _ = env2.step(act2)
+    grf_res = np.asarray(env2.ctrl.grf_world)
+    assert np.isfinite(obs2).all() and not done2.any()
+    assert not np.allclose(grf_res, grf_zero, atol=1e-3)
+
+
 def test_rl_env_fall_reset():
     env = RlMpcEnv(num_envs=2, vx_cmd=0.3, seed=1)
     env.reset()

@@ -105,6 +105,51 @@ def test_hover_equilibrium():
     np.testing.assert_allclose(xdot, 0.0, atol=1e-12)
 
 
+def test_matrix_residual_zero_path_identical():
+    """residual_A/B = None and explicit zeros give the SAME dynamics, and
+    the None path is the exact pre-feature program (`set_srbd_residual`
+    plumbing, reference `mpc_wrapper.py:66-67`)."""
+    lin = _lin()
+    base = srbd.discrete_dynamics(lin, jnp.asarray(0.025))
+    z = jnp.zeros((12, 12), jnp.float64)
+    with_zeros = srbd.discrete_dynamics(
+        lin._replace(residual_A=z, residual_B=z), jnp.asarray(0.025)
+    )
+    np.testing.assert_array_equal(np.asarray(base.A), np.asarray(with_zeros.A))
+    np.testing.assert_array_equal(np.asarray(base.B), np.asarray(with_zeros.B))
+    np.testing.assert_array_equal(np.asarray(base.c), np.asarray(with_zeros.c))
+
+
+def test_matrix_residual_enters_before_discretization():
+    """With residuals Ra, Rb the continuous model is exactly (A+Ra, B+Rb, c)
+    and RK4 discretization propagates the modified A (not A + dt*Ra-style
+    post-hoc patching): closed form still equals the literal 4-stage RK4."""
+    lin = _lin()
+    rng = np.random.default_rng(11)
+    ra = jnp.asarray(0.1 * rng.standard_normal((12, 12)))
+    rb = jnp.asarray(0.1 * rng.standard_normal((12, 12)))
+    lin_r = lin._replace(residual_A=ra, residual_B=rb)
+
+    cont = srbd.continuous_dynamics(lin)
+    cont_r = srbd.continuous_dynamics(lin_r)
+    np.testing.assert_allclose(
+        np.asarray(cont_r.A), np.asarray(cont.A + ra), atol=1e-15)
+    np.testing.assert_allclose(
+        np.asarray(cont_r.B), np.asarray(cont.B + rb), atol=1e-15)
+    np.testing.assert_array_equal(np.asarray(cont_r.c), np.asarray(cont.c))
+
+    # The residual A breaks nilpotency, so the discretization must carry the
+    # full quartic series — pinned against the literal 4-stage integrator.
+    dt = jnp.asarray(0.025)
+    disc = srbd.discrete_dynamics(lin_r, dt)
+    x = jnp.asarray(rng.standard_normal(12))
+    u = jnp.asarray(rng.standard_normal(12))
+    closed = disc.A @ x + disc.B @ u + disc.c
+    generic = srbd.rk4_step_generic(lin_r, x, u, dt)
+    np.testing.assert_allclose(
+        np.asarray(closed), np.asarray(generic), atol=1e-12)
+
+
 def test_mixed_dtype_leaves_no_future_warning():
     """f64 residual/parameter leaves into an f32 model must not rely on
     scatter promotion (jax FutureWarning, future hard error): the builder

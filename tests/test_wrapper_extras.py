@@ -87,6 +87,49 @@ def test_print_solve_time(capsys):
     assert "low level control took" in captured
 
 
+def test_set_srbd_residual_end_to_end():
+    """The learned-dynamics-residual hook the reference only declares
+    (`mpc_wrapper.py:66-67`): (B,12,12) A/B residuals reach the QP and
+    change the MPC solution; zero residuals reproduce the residual-free
+    wrench exactly; clearing restores the original pytree structure."""
+    obs = _obs(2)
+    ctrl = MPCController(ControllerConf(), MPCConf(), num_envs=2, gait_id=1)
+    _step(ctrl, obs, n=1)
+    w_base = np.asarray(ctrl.ground_reaction_wrench).copy()
+
+    # Zero residuals: bit-for-bit the same wrench on a fresh controller.
+    ctrl0 = MPCController(ControllerConf(), MPCConf(), num_envs=2, gait_id=1)
+    ctrl0.set_srbd_residual(np.zeros((2, 12, 12), np.float32),
+                            np.zeros((2, 12, 12), np.float32))
+    _step(ctrl0, obs, n=1)
+    np.testing.assert_array_equal(
+        np.asarray(ctrl0.ground_reaction_wrench), w_base)
+
+    # A real B-residual (scale the force columns' effect) shifts the GRFs.
+    rb = np.zeros((2, 12, 12), np.float32)
+    rb[:, 9:12, 0:3] = 0.25 * np.eye(3)  # feet 25% "stronger" on v_dot
+    rb[:, 9:12, 3:6] = 0.25 * np.eye(3)
+    ctrl_r = MPCController(ControllerConf(), MPCConf(), num_envs=2, gait_id=1)
+    ctrl_r.set_srbd_residual(np.zeros((2, 12, 12), np.float32), rb)
+    _step(ctrl_r, obs, n=1)
+    w_res = np.asarray(ctrl_r.ground_reaction_wrench)
+    assert np.isfinite(w_res).all()
+    # the model thinks forces act stronger -> the QP commands smaller fz
+    assert abs(w_res[0, 0, 2]) < abs(w_base[0, 0, 2])
+
+    # Clearing goes back to the residual-free structure and wrench.
+    ctrl_r.set_srbd_residual(None, None)
+    assert ctrl_r.state.residual_A is None
+    _step(ctrl_r, obs, n=1)
+    np.testing.assert_allclose(
+        np.asarray(ctrl_r.ground_reaction_wrench), w_base, atol=1e-4)
+
+    # Shape validation.
+    with pytest.raises(ValueError, match="expects shapes"):
+        ctrl_r.set_srbd_residual(np.zeros((2, 12, 11), np.float32),
+                                 np.zeros((2, 12, 12), np.float32))
+
+
 def _step_moving(ctrl, n):
     """Step with the body translating forward each tick (world-frame swing
     planning only differs from base-frame when the body moves mid-swing)."""
