@@ -1,0 +1,137 @@
+"""RL-MPC training with the environment ON the device (VERDICT r3 item 5).
+
+`train_rl_mpc.py` proves the ARS learning loop but evaluates the population
+through the host `RlMpcEnv` — one dispatch per controller call, so the
+987k env-steps/s the compiled rollout measures (`tpu_rollout.py`) never
+reaches training. Here the entire population evaluation is ONE jitted
+device program (`rl_env_tpu.make_rollout`): every perturbation direction
+owns a group of envs carrying its own policy parameters as data, the full
+`steps x decimation` closed loop (MPC solves included) runs in a `lax.scan`,
+and the only host work per ARS iteration is the tiny (10 x 14) weight
+update. This is the RL-MPC product shape the reference advertises
+(`README.md:1-3`) on TPU terms: policy update is the only host boundary.
+
+Run:  python examples/train_rl_mpc_tpu.py [--iters 10] [--dirs 4]
+          [--envs-per 4] [--steps 40] [--bench]
+`--bench` appends a learning-curve + throughput artifact to
+results/train_rl_mpc_tpu.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+from rl_env_tpu import (  # noqa: E402  (examples-local module)
+    ACT_DIM, OBS_DIM, make_device_env, make_rollout,
+)
+
+
+def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
+          steps: int = 40, step_size: float = 0.02, noise: float = 0.05,
+          solver: str = "pallas_ric_aug", seed: int = 0,
+          verbose: bool = True, emit=None):
+    """ARS with antithetic directions, device-resident rollouts.
+
+    Same estimator and batch layout as the host trainer
+    (`train_rl_mpc.train`): env groups [dir0+, dir0-, dir1+, dir1-, ...] of
+    `envs_per` envs each. Returns (W, history of mean returns).
+    """
+    rng = np.random.default_rng(seed)
+    num_envs = 2 * n_dirs * envs_per
+    env_step, reset_all, rl_obs, core = make_device_env(
+        num_envs, solver=solver)
+    rollout = make_rollout(env_step, rl_obs, steps)
+
+    w = np.zeros((ACT_DIM, OBS_DIM))
+    history = []
+    env_steps_per_rollout = num_envs * steps * core.mpc_cfg.decimation
+    t_rollouts = []
+
+    for it in range(iters):
+        deltas = rng.standard_normal((n_dirs, ACT_DIM, OBS_DIM))
+        w_per_env = np.empty((num_envs, ACT_DIM, OBS_DIM), np.float32)
+        for d in range(n_dirs):
+            base = 2 * d * envs_per
+            w_per_env[base: base + envs_per] = w + noise * deltas[d]
+            w_per_env[base + envs_per: base + 2 * envs_per] = \
+                w - noise * deltas[d]
+
+        carry = reset_all()
+        t0 = time.perf_counter()
+        carry, returns = jax.block_until_ready(
+            rollout(carry, jnp.asarray(w_per_env)))
+        dt_s = time.perf_counter() - t0
+        if it > 0:  # it 0 pays the compile
+            t_rollouts.append(dt_s)
+        returns = np.asarray(returns, np.float64)
+
+        grouped = returns.reshape(2 * n_dirs, envs_per).mean(axis=1)
+        r_plus, r_minus = grouped[0::2], grouped[1::2]
+        sigma = np.concatenate([r_plus, r_minus]).std() + 1e-8
+        grad = np.einsum("d,dao->ao", r_plus - r_minus, deltas) / n_dirs
+        w = w + step_size / sigma * grad
+        history.append(float(returns.mean()))
+        if verbose:
+            rate = env_steps_per_rollout / dt_s
+            print(f"iter {it:3d}  mean return {history[-1]:8.3f}  "
+                  f"rollout {1e3 * dt_s:7.1f} ms  "
+                  f"({rate / 1e3:.0f}k env-steps/s)", flush=True)
+        if emit is not None:
+            emit({"iter": it, "mean_return": round(history[-1], 4),
+                  "rollout_s": round(dt_s, 3)})
+
+    stats = {}
+    if t_rollouts:
+        t_med = float(np.median(t_rollouts))
+        stats = {
+            "env_steps_per_s": round(env_steps_per_rollout / t_med, 0),
+            "rollout_ms_p50": round(1e3 * t_med, 1),
+            "num_envs": num_envs, "steps": steps,
+        }
+    return w, history, stats
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--dirs", type=int, default=4)
+    p.add_argument("--envs-per", type=int, default=4)
+    p.add_argument("--steps", type=int, default=40)
+    p.add_argument("--solver", default="pallas_ric_aug")
+    p.add_argument("--bench", action="store_true",
+                   help="append artifact to results/train_rl_mpc_tpu.jsonl")
+    args = p.parse_args()
+
+    emit = None
+    if args.bench:
+        sys.path.insert(0, "bench")
+        from bench_common import make_emitter
+        emit = make_emitter("train_rl_mpc_tpu", vars(args))
+
+    w, history, stats = train(
+        iters=args.iters, n_dirs=args.dirs, envs_per=args.envs_per,
+        steps=args.steps, solver=args.solver, emit=emit)
+    print(f"\nreturn: first {history[0]:.3f} -> last {history[-1]:.3f} "
+          f"(best {max(history):.3f})")
+    print(f"policy norm {np.linalg.norm(w):.4f}")
+    if stats:
+        print(f"throughput: {stats['env_steps_per_s']:.0f} env-steps/s "
+              f"at {stats['num_envs']} envs")
+        if emit is not None:
+            emit({"summary": stats,
+                  "return_first": round(history[0], 3),
+                  "return_last": round(history[-1], 3),
+                  "return_best": round(max(history), 3)})
+
+
+if __name__ == "__main__":
+    main()
