@@ -9,7 +9,11 @@ phases) — the RL-training batch shape.
 
 Flags: --yaw (omnidirectional contact frame), --solver NAME (default
 pallas_ric, the round-2 run; round 3 adds the pallas_hybrid rerun that
-rescued the 1/256 divergence — BENCH.md). Appends results/ab_stability.jsonl.
+rescued the 1/256 divergence — BENCH.md), --robot NAME (round 4: "T1" /
+"T1-newton" run the 0.62 m, f_max=1450 N T1 configuration and append to
+results/t1_tpu_rollout.jsonl instead), --obs-ik newton (exact-IK encoder
+stand-in for plain T1; see closed_loop_sim.simulate). Appends
+results/ab_stability.jsonl.
 """
 # Runnable from anywhere: put the repo root (one level up) on sys.path
 # so `import biped_pympc_tpu` and `import bench_common` both resolve.
@@ -34,14 +38,25 @@ frame = "yaw" if "--yaw" in _sys.argv else "world"
 solver = "pallas_ric"
 if "--solver" in _sys.argv:
     solver = _sys.argv[_sys.argv.index("--solver") + 1]
+robot = "HECTOR"
+if "--robot" in _sys.argv:  # round-4: T1 parity with HECTOR's 30 s evidence
+    robot = _sys.argv[_sys.argv.index("--robot") + 1]
+obs_ik = "robot"
+if "--obs-ik" in _sys.argv:
+    obs_ik = _sys.argv[_sys.argv.index("--obs-ik") + 1]
+height = 0.55 if robot == "HECTOR" else 0.62
+f_max = 500.0 if robot == "HECTOR" else 1450.0
 core = BipedControllerCore(ControllerConf(),
-                           MPCConf(solver=solver, contact_frame=frame),
+                           MPCConf(solver=solver, contact_frame=frame,
+                                   robot=robot, f_max=f_max),
                            gait_id=2)
 from bench_common import make_emitter
-emit = make_emitter("ab_stability", {"frame": frame, "solver": solver})
-rollout, cycles = make_rollout(core, 1.0)
+emit = make_emitter("ab_stability" if robot == "HECTOR" else "t1_tpu_rollout",
+                    {"frame": frame, "solver": solver, "robot": robot,
+                     "obs_ik": obs_ik})
+rollout, cycles = make_rollout(core, 1.0, obs_ik=obs_ik)
 rollout = jax.jit(rollout)
-carry = init_carry(core, batch, 0.3, 0.55)
+carry = init_carry(core, batch, 0.3, height)
 # Domain-randomize: per-env twist command and gait phase.
 rng = np.random.default_rng(0)
 state, x, foot_w = carry
@@ -50,7 +65,7 @@ twist[:, 0] = rng.uniform(-0.3, 0.5, batch)
 twist[:, 1] = rng.uniform(-0.15, 0.15, batch)
 twist[:, 2] = rng.uniform(-0.3, 0.3, batch)
 state = core.set_command(state, jnp.asarray(twist),
-                         jnp.full((batch,), 0.55, jnp.float32))
+                         jnp.full((batch,), height, jnp.float32))
 state = state._replace(
     gait_phase=jnp.asarray(rng.uniform(0, 1, batch).astype(np.float32)))
 carry = (state, x, foot_w)
@@ -61,7 +76,7 @@ for sec in range(30):
         x = np.asarray(carry[1])  # (B, 12): [rpy, pos, w, v]
         h = x[:, 5]; rp = np.abs(x[:, 0:2]).max(axis=1)
         vx = x[:, 9]
-        upright = (np.abs(h - 0.55) < 0.15) & (rp < 0.5) & np.isfinite(x).all(axis=1)
+        upright = (np.abs(h - height) < 0.15) & (rp < 0.5) & np.isfinite(x).all(axis=1)
         vx_err = np.abs(vx - cmd_vx)
         emit({"sim_s": sec+1,
             "upright_frac": round(float(upright.mean()), 4),

@@ -54,8 +54,20 @@ def simulate(
     height: float | None = None,
     seed: int = 0,
     verbose: bool = True,
+    obs_ik: str = "robot",
 ):
-    """Run the closed loop; returns a dict of trajectories (numpy)."""
+    """Run the closed loop; returns a dict of trajectories (numpy).
+
+    obs_ik selects the IK standing in for joint encoders when assembling
+    the observation from the kinematic plant: "robot" (default) uses the
+    controller robot's own IK — for plain "T1" that is the reference's
+    planar approximation, whose FK(IK(p)) roundtrip error (~1 cm z at
+    stance; PARITY.md row 23) is what produces the documented ~+5 cm
+    closed-loop height bias; "newton" uses the exact Gauss-Newton IK for
+    the observation ONLY (the controller still runs the plain IK for its
+    swing targets), modeling a real deployment where encoders measure true
+    joint angles. HECTOR's IK is exact, so the knob only matters for T1.
+    """
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
     # The reference's hardwired 500 N force cap suits HECTOR (13.9 kg); give
     # the 40 kg T1 the same ~3.7x-mg authority (a one-line config here vs a
@@ -86,8 +98,16 @@ def simulate(
     twist[:, 0] = vx
     ctrl.set_command(twist, np.full(num_envs, height, dtype=np.float32))
 
+    if obs_ik == "newton":
+        if not robot_name.startswith("T1"):
+            raise ValueError("obs_ik='newton' is a T1 knob (HECTOR IK is exact)")
+        from biped_pympc_tpu.models import t1 as _t1
+
+        ik_single = _t1.analytical_ik_newton
+    else:
+        ik_single = robot.analytical_ik
     ik = jax.jit(
-        lambda p, leg: jax.vmap(lambda pp: robot.analytical_ik(pp, leg))(p),
+        lambda p, leg: jax.vmap(lambda pp: ik_single(pp, leg))(p),
         static_argnums=1,
     )
 

@@ -95,13 +95,19 @@ def make_affine_rk4_step(robot, dt: float):
     return step
 
 
-def make_rollout(core: BipedControllerCore, seconds: float):
+def make_rollout(core: BipedControllerCore, seconds: float,
+                 obs_ik: str = "robot"):
     """Build (rollout_fn, init_carry). rollout_fn: carry -> (carry, traj).
 
     traj holds one snapshot per MPC cycle: body state x (B, 12).
     The physics/foot-update rules replicate `closed_loop_sim.simulate`
     tick-for-tick (ingest -> [MPC on cycle ticks] -> low-level -> foot
     pinning -> SRBD RK4), so behavior matches the host-loop demo.
+
+    obs_ik: IK used as the encoder stand-in when assembling observations —
+    "robot" (default, the controller robot's own IK) or "newton" (exact
+    T1 Gauss-Newton IK for the observation only; see
+    `closed_loop_sim.simulate`).
     """
     robot = core.robot
     dt = core.mpc_cfg.dt
@@ -109,6 +115,12 @@ def make_rollout(core: BipedControllerCore, seconds: float):
     cycles = int(seconds / dt) // decimation
     dof = robot.num_dof
     rk4_step = make_affine_rk4_step(robot, dt)
+    if obs_ik == "newton":
+        from biped_pympc_tpu.models import t1 as _t1
+
+        obs_ik_fn = _t1.analytical_ik_newton
+    else:
+        obs_ik_fn = robot.analytical_ik
 
     def assemble_obs(x, foot_w):
         """Batched controller observation + per-env rotation matrices."""
@@ -118,8 +130,8 @@ def make_rollout(core: BipedControllerCore, seconds: float):
             v_b = rot.T @ xi[9:12]
             w_b = rot.T @ xi[6:9]
             foot_b = (feet - xi[3:6]) @ rot  # R^T (p_w - root) per leg
-            q_l = robot.analytical_ik(foot_b[0], 0)
-            q_r = robot.analytical_ik(foot_b[1], 1)
+            q_l = obs_ik_fn(foot_b[0], 0)
+            q_r = obs_ik_fn(foot_b[1], 1)
             obs = jnp.concatenate([
                 xi[3:6], quat, v_b, w_b, q_l, q_r,
                 jnp.zeros(4 * dof, xi.dtype),  # qd, tau: zero like the host demo
@@ -194,7 +206,7 @@ def init_carry(core: BipedControllerCore, num_envs: int, vx: float,
 
 def run(num_envs: int = 4, seconds: float = 2.0, vx: float = 0.3,
         solver: str = "tridiag_aug", robot_name: str = "HECTOR",
-        height: float | None = None):
+        height: float | None = None, obs_ik: str = "robot"):
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
     # T1 needs HECTOR-equivalent force authority (see closed_loop_sim.py).
     f_max = 500.0 if robot_name == "HECTOR" else 1450.0
@@ -203,7 +215,7 @@ def run(num_envs: int = 4, seconds: float = 2.0, vx: float = 0.3,
     core = BipedControllerCore(
         cfg, MPCConf(solver=solver, robot=robot_name, f_max=f_max), gait_id=2
     )
-    rollout, cycles = make_rollout(core, seconds)
+    rollout, cycles = make_rollout(core, seconds, obs_ik=obs_ik)
     carry = init_carry(core, num_envs, vx, height)
     (state, x, foot_w), traj = rollout(carry)
     return np.asarray(traj)  # (cycles, B, 12)

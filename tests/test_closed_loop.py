@@ -105,3 +105,31 @@ def test_t1_reference_parity_ik_walks():
 
     fz = out["fz"]
     assert (fz.max(axis=2) > 150.0).mean() > 0.8, "unloaded"
+
+
+def test_t1_obs_ik_knob_removes_height_bias():
+    """VERDICT r3 item 7 (bias exposure): the plain-T1 closed-loop height
+    bias is produced by the approximate IK standing in for joint encoders
+    in the sim observation path, not by the controller's own swing IK.
+    With obs_ik="newton" (true-encoder model) the plain-T1 controller
+    holds height in the same tight band as T1-newton."""
+    out = simulate(
+        num_envs=2, seconds=2.5, vx=0.3, robot_name="T1",
+        verbose=False, obs_ik="newton",
+    )
+
+    rpy = out["rpy"]
+    assert np.abs(rpy[:, :, :2]).max() < 0.1, "fell over (roll/pitch)"
+
+    z = out["pos"][:, :, 2]
+    # T1-newton's band (0.07) instead of the biased 0.58..0.70 band the
+    # parity test documents for obs_ik="robot".
+    assert np.abs(z - 0.62).max() < 0.07, f"height band: {z.min()}, {z.max()}"
+
+    vx = out["vx"]
+    assert vx[-1].min() > 0.1, f"vx not ramping: {vx[-5:]}"
+
+    # HECTOR rejects the knob (its IK is exact).
+    with pytest.raises(ValueError, match="T1 knob"):
+        simulate(num_envs=1, seconds=0.1, robot_name="HECTOR",
+                 verbose=False, obs_ik="newton")
