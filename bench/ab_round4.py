@@ -264,6 +264,56 @@ def main():
               "units_per_s": round(batch * 4 / t_h, 0),
               "note": "single-dispatch timing: lower bound"})
 
+    # ---------------- F: jac-vs-unscaled disagreement attribution --------
+    if "F" in phases:
+        # Phase C measured the scaled/unscaled augmented kernels deviating
+        # by >5 N on ~1% of randomized envs — deviation from the anchor
+        # does not say WHICH is wrong. Golden-attribute: solve the
+        # disagreeing envs with the f64 reference PDIPM on CPU and score
+        # both variants against it.
+        from biped_pympc_tpu.ops import reference_pdipm
+        from biped_pympc_tpu.ops import qp as qps
+
+        batch = 4096
+        qp = make_qp_batch_randomized(batch)
+        r1 = pdipm_pallas.solve(qp, variants["ricaug_split_r1"])
+        rj = pdipm_pallas.solve(qp, variants["ricaug_split_r1_jac"])
+        x1 = np.asarray(r1.x)
+        xj = np.asarray(rj.x)
+        dis = np.abs(x1[:, NU0:NU0 + 12] - xj[:, NU0:NU0 + 12]).max(axis=1)
+        idx = np.argsort(-dis)[:48]
+        idx = idx[dis[idx] > 1.0]
+        qp_host = jax.tree.map(np.asarray, qp)
+        wins_j = wins_1 = 0
+        e1s, ejs = [], []
+        for i in idx:
+            qi = jax.tree.map(lambda a: a[int(i)], qp_host)
+            H, f, A, b, G, d = [
+                np.asarray(m, np.float64) for m in qps.dense_matrices(qi)]
+            gx, *_ = reference_pdipm.solve(
+                H, f, A, b, G, d,
+                *reference_pdipm.initialize_variables(G, d, A.shape[0]),
+                iterations=20)
+            gu = gx[NU0:NU0 + 12]
+            e1 = float(np.abs(x1[i, NU0:NU0 + 12] - gu).max())
+            ej = float(np.abs(xj[i, NU0:NU0 + 12] - gu).max())
+            e1s.append(e1)
+            ejs.append(ej)
+            wins_j += ej < e1
+            wins_1 += e1 < ej
+        emit({"phase": "F_attrib", "batch": batch,
+              "n_disagree_gt_1N": int((dis > 1.0).sum()),
+              "n_checked": int(len(idx)),
+              "jac_closer": int(wins_j), "unscaled_closer": int(wins_1),
+              "unscaled_err_med_N": round(float(np.median(e1s)), 3)
+              if e1s else None,
+              "jac_err_med_N": round(float(np.median(ejs)), 3)
+              if ejs else None,
+              "unscaled_err_max_N": round(float(np.max(e1s)), 3)
+              if e1s else None,
+              "jac_err_max_N": round(float(np.max(ejs)), 3)
+              if ejs else None})
+
     # ---------------- E: horizon table (bcr justification) ----------------
     if "E" in phases:
         from biped_pympc_tpu.ops import pdipm as _p

@@ -67,8 +67,8 @@ class MPCConf:
     #     tail); use it only on benign, well-conditioned workloads, or
     #     via "pallas_hybrid" for the finiteness guarantee.
     solver: Literal[
-        "tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
-        "pallas", "pallas_aug", "pallas_bcr", "pallas_ric", "pallas_ric2",
+        "tridiag_aug", "tridiag", "dense", "ric", "ric_aug",
+        "pallas", "pallas_aug", "pallas_ric", "pallas_ric2",
         "pallas_ric_aug", "pallas_hybrid",
     ] = "ric_aug"
     # "pallas_hybrid" knobs: the fast condensed kernel runs on every env,

@@ -105,10 +105,11 @@ class BipedControllerCore:
         #                    pallas_ric+foot_split on both axes
         #   pallas         - 26-wide Thomas sweep (round-0 default)
         #   pallas_aug     - 42-wide augmented Thomas sweep
-        #   pallas_bcr     - log-depth cyclic reduction (kept for wide
-        #                    horizons; slower at T=10)
-        known = ("tridiag_aug", "tridiag", "dense", "bcr", "ric", "ric_aug",
-                 "pallas", "pallas_aug", "pallas_bcr", "pallas_ric",
+        # (A log-depth cyclic-reduction variant, "pallas_bcr", was removed
+        # in round 4: slower at every horizon measured, T=10/20/40 —
+        # results/ab_round4.jsonl phase E.)
+        known = ("tridiag_aug", "tridiag", "dense", "ric", "ric_aug",
+                 "pallas", "pallas_aug", "pallas_ric",
                  "pallas_ric2", "pallas_ric_aug", "pallas_hybrid")
         if mpc_cfg.solver not in known:
             raise ValueError(
@@ -117,7 +118,7 @@ class BipedControllerCore:
             )
         backend = {
             "pallas": "tridiag", "pallas_aug": "tridiag_aug",
-            "pallas_bcr": "bcr", "pallas_ric": "ric",
+            "pallas_ric": "ric",
             "pallas_ric2": "ric2", "pallas_ric_aug": "ric_aug",
             # hybrid: fast condensed pass everywhere + budgeted augmented
             # re-solve of residual-flagged envs (pdipm_pallas.solve_hybrid)

@@ -71,7 +71,8 @@ class PdipmOptions(NamedTuple):
     frac_to_boundary: float = 0.99  # (`:461`)
     alpha_min: float = 1e-12  # (`:466-467`)
     sz_floor: float = 1e-8  # slack/dual clamp (`:511-515`)
-    backend: str = "tridiag"  # "tridiag" | "tridiag_aug" | "dense"
+    backend: str = "tridiag"  # "tridiag" | "tridiag_aug" | "dense" | "ric"
+    # | "ric2" | "ric_aug" ("bcr" removed round 4: results/ab_round4.jsonl)
     refine_steps: int = 0  # iterative-refinement passes on the reduced solve
     # (0 suffices in f64; use 1-2 on the f32 TPU path to recover accuracy
     # lost to the ill-conditioned late-iteration KKT)
@@ -507,102 +508,15 @@ def _solve_tridiag_aug(qp: StageQP, s_invs, r1, r_z, r4):
     return dxz, dz.reshape(-1), dyv
 
 
-# --- Block cyclic reduction backend (log-depth factorization) --------------
+# --- Condensed-system packing (shared by the "ric" backend) ----------------
 #
-# Eliminating every x_{t+1} block DIRECTLY (diagonal pivot Q+beta, no
-# recursion) leaves a 26-wide block-tridiagonal system in [u_t, nu_t, y_t]
-# whose off-diagonal coupling is STATIC and confined to the y sub-blocks:
-#
-#   (y_t row):  ... + (-dI - Q~^-1 - Ad Q~^-1 Ad^T [t>=1]) y_t
-#               + Q~^-1 Ad^T y_{t+1} + Ad Q~^-1 y_{t-1} = g_t - Q~^-1 c_t
-#               + Ad Q~^-1 c_{t-1} [t>=1]
-#   recovery:   x_{t+1} = Q~^-1 (c_t - y_t + Ad^T y_{t+1})
-#
-# Because every coupling is P_y S P_y^T, ALL cyclic-reduction fill-in stays
-# in (y, y) sub-blocks at every level, so the reduction preserves structure.
-# Sequential depth: ceil(log2 T) levels of batched 26x26 inverses instead of
-# T Riccati steps — the latency-cutting algorithm for the round-2 kernel,
-# validated here in pure JAX against the golden solver.
-
-_CY0 = NU + N_MX_PER_STAGE  # y offset in the condensed 26 block
-SCB = NU + N_MX_PER_STAGE + NX  # 26
-
-
-def _bcr_schedule(T: int):
-    """Static elimination schedule: per level, (active, eliminated, kept)."""
-    act = list(range(T))
-    levels = []
-    while len(act) > 1:
-        elim = act[1::2]
-        kept = act[0::2]
-        levels.append((list(act), elim, kept))
-        act = kept
-    return levels, act[0]
-
-
-def _condensed_diag_blocks(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
-    """(T, 26, 26) condensed stage blocks (x eliminated directly)."""
-    T = qp.horizon
-    dtype = qp.f.dtype
-    Ad, Bd, _ = qp.dyn
-    q_inv = 1.0 / (qp.q_diag + opts.beta)  # (12,)
-
-    ru = _stage_hessians(qp, w_inv, opts)  # (T, 12, 12)
-    d = jnp.zeros((T, SCB, SCB), dtype=dtype)
-    d = d.at[:, :NU, :NU].set(ru)
-    e = jnp.zeros((N_MX_PER_STAGE, NU), dtype=dtype).at[0, 6].set(1.0).at[1, 9].set(1.0)
-    d = d.at[:, NU:_CY0, :NU].set(e[None])
-    d = d.at[:, :NU, NU:_CY0].set(e.T[None])
-    d = d.at[:, NU:_CY0, NU:_CY0].set(
-        -opts.delta * jnp.eye(N_MX_PER_STAGE, dtype=dtype)[None]
-    )
-    d = d.at[:, _CY0:, :NU].set(-Bd[None])
-    d = d.at[:, :NU, _CY0:].set(-Bd.T[None])
-    yy = -opts.delta * jnp.eye(NX, dtype=dtype) - jnp.diag(q_inv)
-    adqad = Ad @ jnp.diag(q_inv) @ Ad.T
-    d = d.at[:, _CY0:, _CY0:].set(yy[None])
-    d = d.at[1:, _CY0:, _CY0:].add(-adqad[None])
-    return d, q_inv
-
-
-def _factor_bcr(qp: StageQP, w_inv: jnp.ndarray, opts: PdipmOptions):
-    """Cyclic-reduction factorization of the condensed system.
-
-    Returns a pytree of per-level inverses/couplings (python-structured —
-    the schedule is static) plus q_inv for x recovery.
-    """
-    T = qp.horizon
-    Ad = qp.dyn.A
-    d, q_inv = _condensed_diag_blocks(qp, w_inv, opts)
-    s0 = jnp.diag(q_inv) @ Ad.T  # initial coupling S_{t,t+1} = Q~^-1 Ad^T
-
-    inv = gauss_jordan_inverse if opts.inv_impl == "gj" else jnp.linalg.inv
-
-    schedule, root = _bcr_schedule(T)
-    diag = {t: d[t] for t in range(T)}
-    coup = {(t, t + 1): s0 for t in range(T - 1)}  # S between adjacent active
-
-    levels = []
-    for act, elim, kept in schedule:
-        n_invs = {}
-        for pos in range(1, len(act), 2):
-            j = act[pos]
-            l = act[pos - 1]
-            r = act[pos + 1] if pos + 1 < len(act) else None
-            nj = inv(diag[j])
-            n_invs[j] = (nj, l, r)
-            njyy = nj[_CY0:, _CY0:]
-            s_lj = coup[(l, j)]
-            diag[l] = diag[l].at[_CY0:, _CY0:].add(-s_lj @ njyy @ s_lj.T)
-            if r is not None:
-                s_jr = coup[(j, r)]
-                diag[r] = diag[r].at[_CY0:, _CY0:].add(-s_jr.T @ njyy @ s_jr)
-                coup[(l, r)] = -s_lj @ njyy @ s_jr
-        levels.append(n_invs)
-    n_root = inv(diag[root])
-    return {"levels": levels, "root": (root, n_root),
-            "coup": coup, "q_inv": q_inv, "schedule": schedule}
-
+# Eliminating every x_{t+1} block directly (diagonal pivot Q+beta) leaves a
+# 26-wide block-tridiagonal system in [u_t, nu_t, y_t]; these helpers pack
+# the RHS into that condensed layout. (The log-depth block-cyclic-reduction
+# backend that also factored this system was REMOVED in round 4: measured
+# slower than the Riccati-style sweep at every horizon — 29.5/56.2/113.6 ms
+# vs 10.9/18.4/34.6 ms at T=10/20/40, b1024 — because the kernels are
+# throughput-bound, not depth-bound; results/ab_round4.jsonl phase E.)
 
 def _pack_condensed(qp: StageQP, r1: jnp.ndarray, r4: jnp.ndarray,
                     q_inv: jnp.ndarray):
@@ -618,52 +532,10 @@ def _pack_condensed(qp: StageQP, r1: jnp.ndarray, r4: jnp.ndarray,
     return jnp.concatenate([ru, rnu, ry], axis=1), c
 
 
-def _solve_bcr(qp: StageQP, factors, r1: jnp.ndarray, r4: jnp.ndarray):
-    """Down/up sweep through the reduction tree; returns (dxz, dyv)."""
-    T = qp.horizon
-    Ad = qp.dyn.A
-    q_inv = factors["q_inv"]
-    coup = factors["coup"]
-    r, c = _pack_condensed(qp, r1, r4, q_inv)
-    rhs = {t: r[t] for t in range(T)}
-
-    # Down sweep: push eliminated-block rhs into the neighbours.
-    for n_invs in factors["levels"]:
-        for j, (nj, l, rgt) in n_invs.items():
-            njr_y = (nj @ rhs[j])[_CY0:]
-            rhs[l] = rhs[l].at[_CY0:].add(-coup[(l, j)] @ njr_y)
-            if rgt is not None:
-                rhs[rgt] = rhs[rgt].at[_CY0:].add(-coup[(j, rgt)].T @ njr_y)
-
-    root, n_root = factors["root"]
-    w = {root: n_root @ rhs[root]}
-
-    # Up sweep: recover eliminated blocks level by level in reverse.
-    for n_invs in reversed(factors["levels"]):
-        for j, (nj, l, rgt) in n_invs.items():
-            corr = coup[(l, j)].T @ w[l][_CY0:]
-            if rgt is not None:
-                corr = corr + coup[(j, rgt)] @ w[rgt][_CY0:]
-            w[j] = nj @ (rhs[j] - jnp.concatenate(
-                [jnp.zeros(_CY0, dtype=corr.dtype), corr]
-            ))
-
-    ws = jnp.stack([w[t] for t in range(T)])  # (T, 26)
-    wy = ws[:, _CY0:]
-    # x recovery: x_{t+1} = Q~^-1 (c_t - y_t + Ad^T y_{t+1})
-    xs = q_inv[None] * (c - wy)
-    xs = xs.at[:-1].add(q_inv[None] * (wy[1:] @ Ad))
-    dxz = jnp.concatenate([xs.reshape(-1), ws[:, :NU].reshape(-1)])
-    dyv = jnp.concatenate(
-        [wy.reshape(-1), ws[:, NU:_CY0].reshape(-1)]
-    )
-    return dxz, dyv
-
-
 # --- Two-level condensed backend ("ric") ------------------------------------
 #
-# Work-minimal factorization of the same condensed 26-wide stage-tridiagonal
-# the BCR backend derives: per stage, the [u (12), nu (2)] block
+# Work-minimal factorization of the condensed 26-wide stage-tridiagonal
+# described above: per stage, the [u (12), nu (2)] block
 #
 #     K_t = [[R~_t, e^T], [e, -delta I]]        (14x14, quasi-definite)
 #
@@ -1157,11 +1029,6 @@ def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
                 qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
             )
             solve = functools.partial(_solve_dense, qp, factors)
-        elif opts.backend == "bcr":
-            factors = _factor_bcr(
-                qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts
-            )
-            solve = functools.partial(_solve_bcr, qp, factors)
         elif opts.backend == "ric":
             factors = _factor_ric(
                 qp, w_inv.reshape(qp.horizon, N_INEQ_PER_STAGE), opts

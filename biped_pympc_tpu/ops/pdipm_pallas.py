@@ -23,16 +23,15 @@ choices are data), with the Riccati xx-inverse in closed form
 (M = Q~^-1 + Q~^-1 N_yy Q~^-1). Two RHS per iteration plus optional
 iterative refinement; f32 end to end. A 42-wide augmented variant
 (opts.backend == "tridiag_aug") keeps the inequality duals in the stage block
-for the f32-robust accuracy mode, and a block-cyclic-reduction variant
-(opts.backend == "bcr") replaces the T-deep sequential Thomas sweep with
-ceil(log2 T)+1 levels of lane-batched inverses (each level's independent
-stage inverses concatenated along lanes into one GJ). Interleaved A/B on
-v5e showed the Thomas form faster at every batch size — the kernel is
-VPU-tile-throughput-bound, not dependency-latency-bound — so "tridiag"
-stays the default and "bcr" is kept as a tested variant whose depth
-advantage grows with horizon (log T vs T). Measured on v5e, batch-1024
-20-iteration solve: 27.6 ms (26-form) / 65.6 ms (42-form) vs 3520 ms for
-the XLA jnp.linalg.inv path; see BENCH.md.
+for the f32-robust accuracy mode. (A block-cyclic-reduction variant that
+replaced the T-deep Thomas sweep with ceil(log2 T)+1 levels of lane-batched
+inverses was REMOVED in round 4: the kernels are VPU-tile-throughput-bound,
+not dependency-latency-bound, so its log-depth never paid — measured slower
+at EVERY horizon, 29.5/56.2/113.6 ms vs the split Riccati kernel's
+10.9/18.4/34.6 ms at T=10/20/40 b1024, with 3-4x the compile time;
+results/ab_round4.jsonl phase E.) Measured on v5e, batch-1024 20-iteration
+solve: 27.6 ms (26-form) / 65.6 ms (42-form) vs 3520 ms for the XLA
+jnp.linalg.inv path; see BENCH.md.
 
 Block budget per 128-env tile (f32, lane-padded):
   stage inverses (10, 26, 26, 128)  ~3.7 MB
@@ -53,7 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from biped_pympc_tpu.ops import qp as qps
 from biped_pympc_tpu.ops.pdipm import (
-    PdipmOptions, PdipmResult, PdipmState, _bcr_schedule, init_state,
+    PdipmOptions, PdipmResult, PdipmState, init_state,
     kkt_error as pdipm_kkt_error,
 )
 from biped_pympc_tpu.ops.qp import NU, NX, N_INEQ_PER_STAGE, N_MX_PER_STAGE, StageQP
@@ -522,161 +521,11 @@ def _pdipm_kernel(
         return dxz, dyv
 
     # ------------------------------------------------------------------
-    # Block-cyclic-reduction variant (opts.backend == "bcr"): log-depth.
-    #
-    # The Thomas sweep above is T sequential 26-wide stage inverses per
-    # factorization — at small batch the kernel is latency-bound on exactly
-    # that dependent chain. Here the x blocks are eliminated DIRECTLY
-    # (diagonal pivot Q+beta, no Riccati recursion), leaving a 26-wide
-    # block-tridiagonal in [u, nu, y] whose couplings live ONLY in the
-    # (y, y) sub-blocks, so cyclic reduction preserves structure at every
-    # level (see ops/pdipm.py backend="bcr", validated vs the golden
-    # solver). Each level's independent stage inverses are LANE-CONCATENATED
-    # into one Gauss-Jordan: sequential depth falls from T stage inverses to
-    # ceil(log2 T)+1 level inverses while the VPU eats the level's work as
-    # wider lanes.
-    # ------------------------------------------------------------------
-
-    def add_yy(mat, upd):
-        """(26, 26, B) with upd added to the (y, y) sub-block (no .at in TC)."""
-        bottom = jnp.concatenate(
-            [mat[_CY0:, :_CY0], mat[_CY0:, _CY0:] + upd], axis=1
-        )
-        return jnp.concatenate([mat[:_CY0], bottom], axis=0)
-
-    def add_y(vec, upd):
-        """(26, B) with upd added to the y rows."""
-        return jnp.concatenate([vec[:_CY0], vec[_CY0:] + upd], axis=0)
-
-    def factor_bcr(w_inv):
-        """Cyclic-reduction factorization of the condensed system.
-
-        Stores each eliminated stage's inverse in sinv_ref[stage] (the slot
-        map is a bijection: every stage is eliminated at exactly one level,
-        the root last). Returns (coup, meta, root): the per-level coupling
-        matrices (12, 12, B) as values and the static elimination schedule.
-        """
-        w_s = w_inv.reshape(T, N_INEQ_PER_STAGE, bt)
-        eye12 = jnp.eye(NX, dtype=dtype)[:, :, None]
-        adq = ad * q_inv[None, :, :]  # Ad Q~^-1
-        # adqad[i, l] = sum_k ad[i,k] q_inv[k] ad[l,k]  (Ad Q~^-1 Ad^T)
-        adqad = jnp.sum(adq[:, None, :, :] * ad[None, :, :, :], axis=2)
-        z_nu2 = -opts.delta * jnp.broadcast_to(
-            jnp.eye(N_MX_PER_STAGE, dtype=dtype)[:, :, None],
-            (N_MX_PER_STAGE, N_MX_PER_STAGE, bt),
-        )
-        zf = lambda r, c: jnp.zeros((r, c, bt), dtype)
-
-        diag = {}
-        for t in range(T):
-            gtwg = jnp.sum(
-                gu[:, :, None, :] * gu[:, None, :, :] * w_s[t][:, None, None, :],
-                axis=0,
-            )
-            ru_b = gtwg + eye12 * (r_diag[:, None, :] + opts.beta)
-            yy = -opts.delta * eye12 - eye12 * q_inv[:, None, :]
-            if t >= 1:
-                yy = yy - adqad
-            row_u = jnp.concatenate(
-                [ru_b, jnp.swapaxes(e_sel, 0, 1), -jnp.swapaxes(bd, 0, 1)],
-                axis=1)
-            row_nu = jnp.concatenate(
-                [e_sel, z_nu2, zf(N_MX_PER_STAGE, NX)], axis=1)
-            row_y = jnp.concatenate([-bd, zf(NX, N_MX_PER_STAGE), yy], axis=1)
-            diag[t] = jnp.concatenate([row_u, row_nu, row_y], axis=0)
-
-        s0 = q_inv[:, None, :] * jnp.swapaxes(ad, 0, 1)  # Q~^-1 Ad^T
-        coup = {(t, t + 1): s0 for t in range(T - 1)}
-        schedule, root = _bcr_schedule(T)
-        meta = []
-        for act, elim, _kept in schedule:
-            # One GJ for the whole level: lanes = [stage j0 | j1 | ...].
-            stacked = jnp.concatenate([diag[j] for j in elim], axis=-1)
-            inv_stacked = _gj_inverse(stacked)
-            lvl = []
-            for idx, j in enumerate(elim):
-                nj = inv_stacked[:, :, idx * bt: (idx + 1) * bt]
-                sinv_ref[j] = nj
-                pos = act.index(j)
-                l = act[pos - 1]
-                r = act[pos + 1] if pos + 1 < len(act) else None
-                njyy = nj[_CY0:, _CY0:, :]
-                s_lj = coup[(l, j)]
-                diag[l] = add_yy(
-                    diag[l],
-                    -_mm(_mm(s_lj, njyy), jnp.swapaxes(s_lj, 0, 1)),
-                )
-                if r is not None:
-                    s_jr = coup[(j, r)]
-                    diag[r] = add_yy(
-                        diag[r],
-                        -_mm(_mm(jnp.swapaxes(s_jr, 0, 1), njyy), s_jr),
-                    )
-                    coup[(l, r)] = -_mm(_mm(s_lj, njyy), s_jr)
-                lvl.append((j, l, r))
-            meta.append(lvl)
-        sinv_ref[root] = _gj_inverse(diag[root])
-        return coup, meta, root
-
-    def bcr_solve(r1_hat, r4, coup, meta, root):
-        """Down/up sweep through the reduction tree; x recovered closed-form."""
-        rx = r1_hat[: NX * T].reshape(T, NX, bt)
-        ru_r = r1_hat[NX * T:].reshape(T, NU, bt)
-        ry = r4[: NX * T].reshape(T, NX, bt)
-        rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE, bt)
-
-        adq = ad * q_inv[None, :, :]
-        ry_c = ry - q_inv[None] * rx
-        # shift[t] = Ad Q~^-1 c_t ; condensed rhs_y[t] += shift[t-1] (t >= 1)
-        shift = jnp.sum(adq[None] * rx[:, None, :, :], axis=2)  # (T, 12, B)
-        ry_c = jnp.concatenate([ry_c[:1], ry_c[1:] + shift[:-1]], axis=0)
-        r = jnp.concatenate([ru_r, rnu, ry_c], axis=1)  # (T, 26, B)
-        rhs = {t: r[t] for t in range(T)}
-
-        # Down sweep: push eliminated-block rhs into the neighbours.
-        for lvl in meta:
-            for (j, l, rgt) in lvl:
-                njr_y = _mv(sinv_ref[j][_CY0:], rhs[j])  # (12, B)
-                rhs[l] = add_y(rhs[l], -_mv(coup[(l, j)], njr_y))
-                if rgt is not None:
-                    rhs[rgt] = add_y(
-                        rhs[rgt],
-                        -_mv(jnp.swapaxes(coup[(j, rgt)], 0, 1), njr_y),
-                    )
-
-        w = {root: _mv(sinv_ref[root], rhs[root])}
-
-        # Up sweep: recover eliminated blocks level by level in reverse.
-        for lvl in reversed(meta):
-            for (j, l, rgt) in lvl:
-                corr = _mv(jnp.swapaxes(coup[(l, j)], 0, 1), w[l][_CY0:])
-                if rgt is not None:
-                    corr = corr + _mv(coup[(j, rgt)], w[rgt][_CY0:])
-                w[j] = _mv(sinv_ref[j], add_y(rhs[j], -corr))
-
-        ws = jnp.stack([w[t] for t in range(T)])  # (T, 26, B)
-        wy = ws[:, _CY0:, :]
-        # x_{t+1} = Q~^-1 (c_t - y_t + Ad^T y_{t+1})
-        xs = q_inv[None] * (rx - wy)
-        adTwy = jnp.sum(ad[None] * wy[:, :, None, :], axis=1)  # Ad^T y_t
-        xs = jnp.concatenate(
-            [xs[:-1] + q_inv[None] * adTwy[1:], xs[-1:]], axis=0
-        )
-
-        du = ws[:, :NU, :].reshape(NU * T, bt)
-        dnu = ws[:, NU:_CY0, :].reshape(N_MX_PER_STAGE * T, bt)
-        dy = wy.reshape(NX * T, bt)
-        dx = xs.reshape(NX * T, bt)
-        return (
-            jnp.concatenate([dx, du], axis=0),
-            jnp.concatenate([dy, dnu], axis=0),
-        )
-
-    # ------------------------------------------------------------------
     # Two-level condensed variant (opts.backend == "ric"): work-minimal.
     #
-    # The kernel is VPU-tile-throughput-bound (measured: lane-stacked BCR's
-    # depth win was exactly offset by its extra tiles), so the lever is
+    # The kernel is VPU-tile-throughput-bound (measured: the removed
+    # lane-stacked cyclic-reduction variant's depth win was exactly offset
+    # by its extra tiles — see the module docstring), so the lever is
     # total elimination work. Per stage the [u (12), nu (2)] block K_t
     # couples to the dual y_t only through F = [-Bd, 0]; all T K_t inverses
     # are independent and are lane-concatenated into ONE 14-wide GJ.
@@ -1381,7 +1230,6 @@ def _pdipm_kernel(
         )
 
     use_aug = opts.backend == "tridiag_aug"
-    use_bcr = opts.backend == "bcr"
     use_ric = opts.backend == "ric"
     use_ric2 = opts.backend == "ric2"
     use_ric_aug = opts.backend == "ric_aug"
@@ -1401,20 +1249,16 @@ def _pdipm_kernel(
             sigma_d = jnp.minimum(sigma_d, opts.sigma_cap)
         w_inv = sigma_d / (1.0 + opts.delta * sigma_d)
 
-        if use_bcr or use_ric or use_ric2:
+        if use_ric or use_ric2:
             if use_ric:
                 factors = (
                     factor_ric_split if opts.foot_split else factor_ric
                 )(w_inv)
-                solve_fn = ric_solve
-            elif use_ric2:
+            else:
                 # Same solve as "ric": the factor returns a different
                 # kinv-apply callable (the rank-2 block formula).
                 factors = factor_ric2(w_inv)
-                solve_fn = ric_solve
-            else:
-                factors = factor_bcr(w_inv)
-                solve_fn = bcr_solve
+            solve_fn = ric_solve
 
             def reduced_solve(r1, r2, r3, r4, refine=refine_base):
                 r1_hat = r1 + gT_mv(w_inv * (r3 - r2 / sigma_d))

@@ -86,47 +86,6 @@ def test_pdipm_matches_golden(backend):
     )
 
 
-def test_pdipm_bcr_backend_matches_golden():
-    """Block-cyclic-reduction backend (log-depth factorization of the
-    x-condensed 26-wide tridiagonal) solves the same KKT systems.
-
-    BCR reassociates the elimination order, so after 20 chaotic interior-point
-    iterations weakly-determined tail-stage states drift a few 1e-6 from the
-    sequential-elimination golden — the control output u0 (the GRFs actually
-    applied, `srbd_mpc.py` u[0]) stays within ~1e-7, same as batched-vs-single
-    reassociation noise (see test_pdipm_batched_vmap_consistency)."""
-    qp = _make_qp()
-    H, f, A, b, G, d = qps.dense_matrices(qp)
-    gx, *_ = reference_pdipm.solve(
-        H, f, A, b, G, d, *reference_pdipm.initialize_variables(G, d, A.shape[0]),
-        iterations=20,
-    )
-    res = jax.jit(
-        lambda q: pdipm.solve(q, pdipm.PdipmOptions(backend="bcr"))
-    )(qp)
-    x = np.asarray(res.x)
-    np.testing.assert_allclose(x, gx, atol=2e-5)
-    # first-stage input: the quantity the controller consumes
-    np.testing.assert_allclose(x[12 * T: 12 * T + 12],
-                               gx[12 * T: 12 * T + 12], atol=1e-6)
-
-
-@pytest.mark.slow
-def test_pdipm_bcr_horizon20():
-    """BCR at T=20 (power-of-two-ish depth, 3 reduction levels) matches
-    golden tightly — the T=10 drift above is path divergence, not bias."""
-    import test_horizon20 as h20
-
-    qp = h20._qp20()
-    H, f, A, b, G, d = qps.dense_matrices(qp)
-    gx, *_ = reference_pdipm.solve(
-        H, f, A, b, G, d, *reference_pdipm.initialize_variables(G, d, A.shape[0]),
-        iterations=20,
-    )
-    res = pdipm.solve(qp, pdipm.PdipmOptions(backend="bcr"))
-    np.testing.assert_allclose(np.asarray(res.x), gx, atol=1e-7)
-
-
 def test_pdipm_swing_contact_pattern_matches_golden():
     """Contact gating: swinging feet must get ~zero force, still match golden."""
     contact = np.ones((T, 2))

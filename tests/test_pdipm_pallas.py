@@ -65,43 +65,6 @@ def test_pallas_kernel_horizon20(interpret_pallas):
     )
 
 
-def test_pallas_kernel_bcr_backend(interpret_pallas):
-    """The log-depth cyclic-reduction kernel is algebraically exact: at f64
-    it matches the pure-JAX "bcr" backend to roundoff (the f32 spread vs the
-    sequential Thomas path is iterate-path reassociation, same class as
-    batched-vs-single LU noise — accuracy vs the f64 golden is equivalent,
-    measured 0.15 N vs 0.11 N worst-case u0 on stress QPs at 20 iters)."""
-    qs = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
-    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
-    opts = pdipm.PdipmOptions(backend="bcr", refine_steps=1, iterations=2)
-    res_k = pp.solve(batch, opts, tile=4)
-    ref = jax.vmap(lambda q: pdipm.solve(q, opts))(batch)
-    np.testing.assert_allclose(
-        np.asarray(res_k.x), np.asarray(ref.x), rtol=1e-9, atol=1e-10
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_k.z), np.asarray(ref.z), rtol=1e-9, atol=1e-10
-    )
-    np.testing.assert_allclose(
-        np.asarray(res_k.residuals), np.asarray(ref.residuals),
-        rtol=1e-9, atol=1e-10,
-    )
-
-
-def test_pallas_kernel_bcr_horizon20(interpret_pallas):
-    """BCR is horizon-generic (5 reduction levels at T=20)."""
-    import test_horizon20 as h20
-
-    qp64 = h20._qp20()
-    batch = jax.tree.map(lambda *xs: jnp.stack(xs), qp64, qp64)
-    opts = pdipm.PdipmOptions(backend="bcr", refine_steps=1, iterations=2)
-    res_k = pp.solve(batch, opts, tile=2)
-    ref = jax.vmap(lambda q: pdipm.solve(q, opts))(batch)
-    np.testing.assert_allclose(
-        np.asarray(res_k.x), np.asarray(ref.x), rtol=1e-9, atol=1e-10
-    )
-
-
 def test_pallas_kernel_ric_backend(interpret_pallas):
     """Two-level condensed kernel (shipped default): lane-stacked [u, nu]
     inverses + 12-wide dual-Riccati y-chain. Algebraically exact at f64."""
