@@ -82,11 +82,14 @@ class MPCConf:
     hybrid_budget: int = 0
     hybrid_flag_tol: float = 1.0
     # Hybrid flag criterion: "resid" = the solver's own final residual
-    # criterion (one Newton step stale; blind to the f32 condensation
-    # error — Spearman vs true error 0.51-0.64, BENCH.md "hybrid flag");
-    # "kkt" = the TRUE KKT residual of the returned iterate under the
-    # exact operator (one vmapped operator apply, `pdipm.kkt_error`) —
-    # the round-4 calibration data lives in BENCH.md.
+    # criterion (one Newton step stale); "kkt" = the TRUE KKT residual of
+    # the returned iterate under the exact operator (one vmapped operator
+    # apply, `pdipm.kkt_error`). Round-4 calibration (BENCH.md "hybrid
+    # flag round 4", results/ab_round4.jsonl): the true-KKT criteria do
+    # NOT beat the stale residual — Spearman vs true error 0.50-0.61 vs
+    # 0.64, equal-or-worse recall at every flag budget, +6% solve cost
+    # for the operator apply. The >1 N tail is genuinely hard to flag
+    # cheaply; default stays "resid".
     hybrid_flag: Literal["resid", "kkt"] = "resid"
     robot: Literal["HECTOR", "T1", "T1-newton"] = "HECTOR"
     # Solver knobs (reference constants: `sparse_pdipm_solver.py`,
@@ -153,10 +156,16 @@ class MPCConf:
     # congruence-scaled to ~unit diagonal before elimination and unscaled
     # after (K^-1 = D (D K D)^-1 D, exact). Pure factorization
     # preconditioning — iterates are algebraically the reference's at
-    # every step; only f32 rounding changes. Measured round 4 (BENCH.md):
-    # neutral at refine_steps=1 on the robust default (already covered by
-    # refinement), stress tail 14.2 -> 2.2 N at refine_steps=0, and it is
-    # what makes corrector_form="aff_ref" viable (15.1 -> 0.6 N).
+    # every step; only f32 rounding changes. Measured on TPU round 4
+    # (BENCH.md "KKT equilibration", results/ab_round4.jsonl): cost-
+    # neutral (+-1%) but accuracy-NEUTRAL on the robust default (stress
+    # max 0.283 vs 0.286 N) and NOT a refinement substitute on TPU
+    # (refine_steps=0 stress tail 82.6 N with scaling; earlier CPU-f32
+    # reads of a large r0 win did not transfer to TPU rounding). On the
+    # randomized golden-attributed tail envs both scaled and unscaled are
+    # ~10 N off (coin-flip closer) — the tail is an f32 limit, not a
+    # scaling pathology. Default stays "none"; the knob remains for
+    # degraded modes (it does cut aff_ref's stress tail 15.1 -> 4.3 N).
     solver_kkt_scale: Literal["none", "jacobi"] = "none"
     # Euler-rate convention; see `models/srbd.py` docstring. "rt_omega"
     # matches the shipped CUDA path, "r_omega" the CPU CasADi source.
