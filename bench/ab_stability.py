@@ -78,10 +78,12 @@ for sec in range(30):
         vx = x[:, 9]
         upright = (np.abs(h - height) < 0.15) & (rp < 0.5) & np.isfinite(x).all(axis=1)
         vx_err = np.abs(vx - cmd_vx)
+        # Stats over the finite envs (nanmedian etc.) so a diverged env
+        # doesn't blank the whole row; divergence is counted in nan_envs.
         emit({"sim_s": sec+1,
             "upright_frac": round(float(upright.mean()), 4),
-            "height_p50": round(float(np.median(h)), 4),
-            "height_p5": round(float(np.percentile(h, 5)), 4),
-            "vx_err_p50": round(float(np.median(vx_err)), 3),
-            "vx_err_p95": round(float(np.percentile(vx_err, 95)), 3),
+            "height_p50": round(float(np.nanmedian(h)), 4),
+            "height_p5": round(float(np.nanpercentile(h, 5)), 4),
+            "vx_err_p50": round(float(np.nanmedian(vx_err)), 3),
+            "vx_err_p95": round(float(np.nanpercentile(vx_err, 95)), 3),
             "nan_envs": int((~np.isfinite(x).all(axis=1)).sum())})
