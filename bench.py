@@ -173,13 +173,18 @@ def main():
                     "BASELINE.json budgets for a v5e-16. Default solver: "
                     "the ROBUST-accuracy augmented foot-split kernel (f32 "
                     "GRF max err 0.29 N vs f64 golden on the stress set). "
-                    "Round 3: sublane packing of the split blocks measured "
-                    "NEGATIVE (BENCH.md 'Sublane packing'); speed mode "
-                    "with a finiteness guarantee is pallas_hybrid (31.5 ms "
-                    "solver-only at b4096 = 519k units/s, 564k and 100% "
-                    "finite at b32768 randomized, NOT robust-accuracy — BENCH.md "
-                    "'hybrid flag'); bare pallas_ric is quarantined for "
-                    "randomized domains (0.6-0.7% silent NaNs).",
+                    "Round 4 closed the remaining solver levers as measured "
+                    "negatives (BENCH.md round-4 sections): KKT "
+                    "equilibration neutral on the robust default, the "
+                    "12-wide Riccati core structurally rank-deficient on "
+                    "swing feet, the true-KKT hybrid flag no better than "
+                    "the stale residual, cyclic reduction removed (slower "
+                    "at every horizon). Speed mode with a finiteness "
+                    "guarantee is pallas_hybrid (31.3 ms solver-only at "
+                    "b4096 = 523k units/s, 100% finite at b32768 "
+                    "randomized, NOT robust-accuracy); bare pallas_ric is "
+                    "quarantined for randomized domains (0.6-0.7% silent "
+                    "NaNs).",
         },
     }
     # Prints the ONE stdout JSON line the driver parses AND appends it to

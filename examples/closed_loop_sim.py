@@ -55,6 +55,7 @@ def simulate(
     seed: int = 0,
     verbose: bool = True,
     obs_ik: str = "robot",
+    mpc_overrides: dict | None = None,
 ):
     """Run the closed loop; returns a dict of trajectories (numpy).
 
@@ -73,7 +74,8 @@ def simulate(
     # the 40 kg T1 the same ~3.7x-mg authority (a one-line config here vs a
     # multi-hour kernel recompile in the reference).
     f_max = 500.0 if robot_name == "HECTOR" else 1450.0
-    mpc_cfg = MPCConf(solver=solver, robot=robot_name, f_max=f_max)
+    mpc_cfg = MPCConf(solver=solver, robot=robot_name, f_max=f_max,
+                      **(mpc_overrides or {}))
     ctrl = MPCController(cfg, mpc_cfg, num_envs=num_envs, gait_id=2)
     robot = ctrl.core.robot
     if height is None:

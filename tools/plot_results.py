@@ -192,6 +192,39 @@ def plot_headline(rows, out):
     return True
 
 
+def plot_horizon(rows, out):
+    """Round-4 horizon scaling (ab_round4.jsonl phase E): ms vs T per
+    kernel variant, including the removed bcr's losing line as the
+    recorded evidence."""
+    recs = [r for r in rows
+            if r.get("phase") == "E_horizon" and "ms" in r]
+    if not recs:
+        return False
+    latest = {}
+    for r in recs:
+        latest[(r["variant"], r["T"])] = r
+    variants = sorted({k[0] for k in latest})
+    fig, ax = plt.subplots(figsize=(6, 4), dpi=150)
+    for i, v in enumerate(variants):
+        pts = sorted((k[1], rec["ms"]) for k, rec in latest.items()
+                     if k[0] == v)
+        xs, ys = zip(*pts)
+        label = v + (" (removed)" if v.startswith("bcr") else "")
+        ax.plot(xs, ys, "-o", color=SERIES[i % len(SERIES)], linewidth=2,
+                markersize=5, label=label, zorder=3)
+        ax.annotate(label, (xs[-1], ys[-1]), xytext=(6, 0),
+                    textcoords="offset points", color=TEXT, fontsize=8,
+                    va="center")
+    ax.set_xticks(sorted({k[1] for k in latest}))
+    ax.set_xlim(right=max(k[1] for k in latest) * 1.35)
+    _style(ax, "horizon T (knot points)", "ms per 20-iteration solve",
+           "Horizon scaling at batch 1024 (round 4)")
+    fig.tight_layout()
+    fig.savefig(out)
+    plt.close(fig)
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results-dir", default=os.path.join(
@@ -207,6 +240,7 @@ def main():
         ("weak_scaling.png", plot_weak_scaling, "bench_mesh.jsonl"),
         ("compile_breakdown.png", plot_compile, "ab_compile.jsonl"),
         ("headline_history.png", plot_headline, "bench.jsonl"),
+        ("horizon.png", plot_horizon, "ab_round4.jsonl"),
     ):
         if fn(_read(os.path.join(d, src)), os.path.join(plots, name)):
             made.append(name)
