@@ -264,6 +264,55 @@ def main():
               "units_per_s": round(batch * 4 / t_h, 0),
               "note": "single-dispatch timing: lower bound"})
 
+    # ---------------- G: jacobi x scheduled refinement ------------------
+    if "G" in phases:
+        # Round 3 measured refine_skip_iters alone breaking the robust
+        # class (skip5: 0.29 -> 10.4 N stress) because early unrefined
+        # steps leave the f64 trajectory irrecoverably. Jacobi scaling
+        # improves exactly the unrefined factorization (its only real
+        # win). Does jac + skip hold the robust class at lower cost?
+        o = pdipm.PdipmOptions
+        gv = {
+            "r1": o(backend="ric_aug", foot_split=True, refine_steps=1),
+            "r1_skip5": o(backend="ric_aug", foot_split=True,
+                          refine_steps=1, refine_skip_iters=5),
+            "r1_jac_skip5": o(backend="ric_aug", foot_split=True,
+                              refine_steps=1, kkt_scale="jacobi",
+                              refine_skip_iters=5),
+            "r1_jac_skip10": o(backend="ric_aug", foot_split=True,
+                               refine_steps=1, kkt_scale="jacobi",
+                               refine_skip_iters=10),
+        }
+        batch = 256
+        qp = make_qp_batch(batch)
+        gold = golden_u(qp)
+        for name, opts in gv.items():
+            res = pdipm_pallas.solve(qp, opts)
+            e = np.abs(np.asarray(res.x)[:, NU0:NU0 + 12] - gold).max(axis=1)
+            emit({"phase": "G_acc", "variant": name,
+                  "median_N": round(float(np.median(e)), 4),
+                  "p99_N": round(float(np.percentile(e, 99)), 3),
+                  "max_N": round(float(e.max()), 3)})
+        batch = 4096
+        qp = make_qp_batch(batch)
+        fns = {}
+        for name, opts in gv.items():
+            fn = make_chained(
+                lambda q, o2=opts: pdipm_pallas.solve(q, o2), chain)
+            np.asarray(fn(qp))
+            fns[name] = fn
+        times = {name: [] for name in fns}
+        for _ in range(reps):
+            for name, fn in fns.items():
+                t0 = time.perf_counter()
+                np.asarray(fn(qp))
+                times[name].append((time.perf_counter() - t0) / chain)
+        out = {"phase": "G_time", "batch": batch}
+        for name, ts in times.items():
+            ms = 1e3 * float(np.median(ts))
+            out[f"{name}_ms"] = round(ms, 2)
+        emit(out)
+
     # ---------------- F: jac-vs-unscaled disagreement attribution --------
     if "F" in phases:
         # Phase C measured the scaled/unscaled augmented kernels deviating
