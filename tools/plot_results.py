@@ -225,6 +225,44 @@ def plot_horizon(rows, out):
     return True
 
 
+def plot_training(rows, out):
+    """Round-4 on-device ARS training: learning curve per batch size with
+    the measured env-steps/s in the labels (train_rl_mpc_tpu.jsonl)."""
+    runs = []  # (num_envs, [(iter, ret)], env_steps_per_s)
+    cur, cur_envs = [], None
+    summaries = {}
+    for r in rows:
+        if "iter" in r and "mean_return" in r:
+            cur.append((r["iter"], r["mean_return"]))
+        elif "summary" in r:
+            sm = r["summary"]
+            runs.append((sm["num_envs"], cur, sm.get("env_steps_per_s")))
+            cur = []
+        elif "run" in r:
+            cur = []
+    if not runs:
+        return False
+    fig, ax = plt.subplots(figsize=(6, 4), dpi=150)
+    for i, (envs, pts, rate) in enumerate(runs):
+        if not pts:
+            continue
+        xs, ys = zip(*sorted(pts))
+        label = f"{envs} envs"
+        if rate:
+            label += f" ({rate / 1e3:.0f}k env-steps/s)"
+        ax.plot(xs, ys, "-o", color=SERIES[i % len(SERIES)], linewidth=2,
+                markersize=5, label=label, zorder=3)
+    ax.xaxis.get_major_locator().set_params(integer=True)
+    _style(ax, "ARS iteration", "mean return (40-step rollout)",
+           "On-device RL-MPC training (one dispatch per iteration)")
+    ax.legend(frameon=False, fontsize=8, labelcolor=TEXT,
+              loc="lower right")
+    fig.tight_layout()
+    fig.savefig(out)
+    plt.close(fig)
+    return True
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--results-dir", default=os.path.join(
@@ -241,6 +279,7 @@ def main():
         ("compile_breakdown.png", plot_compile, "ab_compile.jsonl"),
         ("headline_history.png", plot_headline, "bench.jsonl"),
         ("horizon.png", plot_horizon, "ab_round4.jsonl"),
+        ("training.png", plot_training, "train_rl_mpc_tpu.jsonl"),
     ):
         if fn(_read(os.path.join(d, src)), os.path.join(plots, name)):
             made.append(name)
