@@ -51,7 +51,8 @@ class EnvCarry(NamedTuple):
 
 
 def make_device_env(num_envs: int, vx_cmd: float = 0.3,
-                    solver: str = "pallas_ric_aug", height: float = 0.55):
+                    solver: str = "pallas_ric_aug", height: float = 0.55,
+                    plant_mass_scale: float = 1.0):
     """Build (env_step, reset_all, rl_obs, core) for a device-resident env.
 
     env_step(carry, action) -> (carry, reward (B,), done (B,) bool)
@@ -61,14 +62,26 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
         and masked-reset fallen envs.
     reset_all() -> carry at the nominal standing state, command applied.
     rl_obs(carry) -> (B, 14) policy observation.
+
+    plant_mass_scale != 1 injects model error: the PLANT integrates with
+    a scaled body mass while the MPC keeps the nominal model — the
+    RL-MPC hybrid task the reference is built for (`README.md:1-3`):
+    the policy must learn SRBD residual accelerations (action dims 4:10)
+    that make the nominal model match the true plant (e.g. a negative z
+    residual makes the MPC believe gravity is stronger, commanding the
+    extra force a heavier plant needs).
     """
+    import dataclasses
+
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
     mpc_cfg = MPCConf(solver=solver)
     core = BipedControllerCore(cfg, mpc_cfg, gait_id=2)
     robot = core.robot
     dof = robot.num_dof
     decimation = mpc_cfg.decimation
-    rk4_step = make_affine_rk4_step(robot, mpc_cfg.dt)
+    plant_robot = dataclasses.replace(
+        robot, mass=robot.mass * plant_mass_scale)
+    rk4_step = make_affine_rk4_step(plant_robot, mpc_cfg.dt)
 
     hip_l = robot.hip_horizontal_location(0, jnp.float32)
     hip_r = robot.hip_horizontal_location(1, jnp.float32)

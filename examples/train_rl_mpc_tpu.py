@@ -38,6 +38,7 @@ from rl_env_tpu import (  # noqa: E402  (examples-local module)
 def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
           steps: int = 40, step_size: float = 0.02, noise: float = 0.05,
           solver: str = "pallas_ric_aug", seed: int = 0,
+          plant_mass_scale: float = 1.0,
           verbose: bool = True, emit=None):
     """ARS with antithetic directions, device-resident rollouts.
 
@@ -48,7 +49,7 @@ def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
     rng = np.random.default_rng(seed)
     num_envs = 2 * n_dirs * envs_per
     env_step, reset_all, rl_obs, core = make_device_env(
-        num_envs, solver=solver)
+        num_envs, solver=solver, plant_mass_scale=plant_mass_scale)
     rollout = make_rollout(env_step, rl_obs, steps)
 
     w = np.zeros((ACT_DIM, OBS_DIM))
@@ -107,6 +108,12 @@ def main():
     p.add_argument("--envs-per", type=int, default=4)
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--solver", default="pallas_ric_aug")
+    p.add_argument("--mass-error", type=float, default=1.0,
+                   help="plant mass scale (model-error compensation task: "
+                        "the policy must learn SRBD residuals that close "
+                        "the MPC-vs-plant gap)")
+    p.add_argument("--noise", type=float, default=0.05)
+    p.add_argument("--step-size", type=float, default=0.02)
     p.add_argument("--bench", action="store_true",
                    help="append artifact to results/train_rl_mpc_tpu.jsonl")
     args = p.parse_args()
@@ -119,7 +126,9 @@ def main():
 
     w, history, stats = train(
         iters=args.iters, n_dirs=args.dirs, envs_per=args.envs_per,
-        steps=args.steps, solver=args.solver, emit=emit)
+        steps=args.steps, solver=args.solver, emit=emit,
+        plant_mass_scale=args.mass_error, noise=args.noise,
+        step_size=args.step_size)
     print(f"\nreturn: first {history[0]:.3f} -> last {history[-1]:.3f} "
           f"(best {max(history):.3f})")
     print(f"policy norm {np.linalg.norm(w):.4f}")

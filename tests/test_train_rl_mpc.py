@@ -77,3 +77,29 @@ def test_device_ars_trains_and_updates_policy():
     assert len(history) == 2 and np.isfinite(history).all()
     assert history[-1] > 0.0
     assert stats["env_steps_per_s"] > 0
+
+
+def test_device_env_mass_error_task():
+    """plant_mass_scale injects MPC-vs-plant model error (the RL-MPC
+    compensation task): the degraded plant scores lower than nominal
+    under the zero policy, and a hand-crafted compensating policy (a
+    constant negative-z SRBD residual via the action map) recovers part
+    of the gap — i.e. the task is learnable through the action interface."""
+    import jax.numpy as jnp
+
+    def run(scale, w):
+        env_step, reset_all, rl_obs, _ = rl_env_tpu.make_device_env(
+            3, solver="tridiag_aug", plant_mass_scale=scale)
+        rollout = rl_env_tpu.make_rollout(env_step, rl_obs, 5)
+        _, ret = rollout(reset_all(), w)
+        return float(np.asarray(ret).mean())
+
+    w0 = jnp.zeros((3, rl_env_tpu.ACT_DIM, rl_env_tpu.OBS_DIM), jnp.float32)
+    # action[6] = residual_lin_z; obs[3] = height ~0.55 -> tanh(-2*0.55) ~ -0.8
+    w_comp = w0.at[:, 6, 3].set(-2.0)
+
+    r_nom = run(1.0, w0)
+    r_deg = run(1.3, w0)
+    r_fix = run(1.3, w_comp)
+    assert r_deg < r_nom, (r_deg, r_nom)
+    assert r_fix > r_deg, (r_fix, r_deg)
