@@ -25,3 +25,21 @@ import jax  # noqa: E402
 # TPU platform baked in — override the live config, not just the env var.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Bound in-process compile-cache growth across the suite.
+
+    jaxlib 0.9.0's CPU backend segfaults deterministically inside
+    backend_compile_and_load once a single pytest process has accumulated
+    roughly the full suite's compilations (reproduced twice at the same
+    position with different victim tests; each victim passes standalone).
+    Dropping the executables between modules keeps the process under the
+    threshold. Costs recompiles for cross-module duplicate shapes — the
+    suite has few, so the overhead is small relative to a crash.
+    """
+    yield
+    jax.clear_caches()
