@@ -57,7 +57,7 @@ def collect_walking_qps(batch=256, seconds=(1, 3)):
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, "examples")
+    sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "examples"))
     from tpu_rollout import init_carry, make_rollout
 
     from biped_pympc_tpu import ControllerConf, MPCConf

@@ -19,10 +19,19 @@ C. Randomized-domain b4096 (BASELINE config 5): per-variant finiteness +
    solve_hybrid(flag="kkt").
 D. b32768 randomized finiteness for the best condensed candidate and the
    kkt-flagged hybrid.
-E. Horizon table: T=20 and T=40 rows for ric split / ric_aug split / bcr
-   at b1024 (VERDICT r3 item 6 — bcr's log-depth advantage has never been
-   measured where it was claimed to matter), with compile seconds and
-   VMEM-failure capture.
+E. Horizon table: T=10/20/40 rows for ric split / ric_aug split at b1024
+   (VERDICT r3 item 6), with compile seconds and VMEM-failure capture.
+   The original session also timed the bcr kernel here (its log-depth
+   advantage had never been measured where it was claimed to matter); it
+   lost at every horizon and was REMOVED from the tree — the bcr_r1 rows
+   in results/ab_round4.jsonl are that recorded evidence and cannot be
+   regenerated (the backends now raise on "bcr").
+F. Golden attribution of the scaled-vs-unscaled randomized disagreement
+   tail: the worst >1 N disagreement envs re-solved with the f64
+   reference PDIPM on CPU; which variant is closer to truth?
+G. Jacobi x scheduled refinement: does kkt_scale="jacobi" rescue the
+   refine_skip_iters accuracy loss (round-3 rejected lever) at lower
+   cost than full refinement?
 
 Results append to results/ab_round4.jsonl.
 """
@@ -366,13 +375,15 @@ def main():
     # ---------------- E: horizon table (bcr justification) ----------------
     if "E" in phases:
         from biped_pympc_tpu.ops import pdipm as _p
+        # "bcr" ran in the original session and lost at every horizon; the
+        # backend was removed (raises ValueError now). Its measured rows
+        # remain in results/ab_round4.jsonl as the removal evidence.
         hv = {
             "ric_split_r1": _p.PdipmOptions(backend="ric", foot_split=True,
                                             refine_steps=1),
             "ricaug_split_r1": _p.PdipmOptions(backend="ric_aug",
                                                foot_split=True,
                                                refine_steps=1),
-            "bcr_r1": _p.PdipmOptions(backend="bcr", refine_steps=1),
         }
         batch = 1024
         for horizon in (10, 20, 40):

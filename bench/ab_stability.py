@@ -25,7 +25,7 @@ _sys.path[:0] = [_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
 import json, sys
 import numpy as np
 import jax, jax.numpy as jnp
-sys.path.insert(0, "examples")
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "examples"))
 from tpu_rollout import init_carry, make_rollout
 from biped_pympc_tpu.control.controller import BipedControllerCore
 from biped_pympc_tpu import ControllerConf, MPCConf

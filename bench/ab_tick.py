@@ -19,7 +19,7 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "examples")
+sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "examples"))
 
 
 def main():

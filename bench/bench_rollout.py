@@ -38,7 +38,7 @@ def main():
     import jax
     import sys
 
-    sys.path.insert(0, "examples")
+    sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))), "examples"))
     from tpu_rollout import init_carry, make_rollout
 
     from biped_pympc_tpu import ControllerConf, MPCConf

@@ -518,9 +518,11 @@ def _solve_tridiag_aug(qp: StageQP, s_invs, r1, r_z, r4):
 # vs 10.9/18.4/34.6 ms at T=10/20/40, b1024 — because the kernels are
 # throughput-bound, not depth-bound; results/ab_round4.jsonl phase E.)
 
-def _pack_condensed(qp: StageQP, r1: jnp.ndarray, r4: jnp.ndarray,
-                    q_inv: jnp.ndarray):
-    """rhs -> condensed (T, 26) stage vectors + c (T, 12) x-row rhs."""
+def _split_condensed_rhs(qp: StageQP, r1: jnp.ndarray, r4: jnp.ndarray,
+                         q_inv: jnp.ndarray):
+    """Shared rhs unpacking + condensed y-row shift for the x-eliminated
+    backends: returns (c, ru, g, rnu, ry) with
+    ry = g - Q~^-1 c + Ad Q~^-1 c_{t-1} [t >= 1]."""
     T = qp.horizon
     Ad = qp.dyn.A
     c = r1[: NX * T].reshape(T, NX)
@@ -529,6 +531,13 @@ def _pack_condensed(qp: StageQP, r1: jnp.ndarray, r4: jnp.ndarray,
     rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE)
     ry = g - q_inv[None] * c
     ry = ry.at[1:].add((Ad @ (q_inv[:, None] * c[:-1].T)).T)
+    return c, ru, g, rnu, ry
+
+
+def _pack_condensed(qp: StageQP, r1: jnp.ndarray, r4: jnp.ndarray,
+                    q_inv: jnp.ndarray):
+    """rhs -> condensed (T, 26) stage vectors + c (T, 12) x-row rhs."""
+    c, ru, _, rnu, ry = _split_condensed_rhs(qp, r1, r4, q_inv)
     return jnp.concatenate([ru, rnu, ry], axis=1), c
 
 
@@ -768,13 +777,8 @@ def _solve_ric_aug(qp: StageQP, factors, r1, r_z, r4):
     Ad, Bd, _ = qp.dyn
     k_inv, yhat_inv, q_inv, s_coup = factors
 
-    c = r1[: NX * T].reshape(T, NX)
-    ru = r1[NX * T:].reshape(T, NU)
-    g = r4[: NX * T].reshape(T, NX)
-    rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE)
+    c, ru, _, rnu, ry = _split_condensed_rhs(qp, r1, r4, q_inv)
     rz = r_z.reshape(T, N_INEQ_PER_STAGE)
-    ry = g - q_inv[None] * c
-    ry = ry.at[1:].add((Ad @ (q_inv[:, None] * c[:-1].T)).T)
 
     r_un = jnp.concatenate([ru, rz, rnu], axis=1)  # (T, 30)
     kr = jnp.einsum("tij,tj->ti", k_inv, r_un)
@@ -921,13 +925,8 @@ def _solve_ric_aug_core(qp: StageQP, factors, r1, r_z, r4):
     Ad, Bd, _ = qp.dyn
     s_inv, v, c_u, kuu_hat, bd_hat, yhat_inv, q_inv, s_coup = factors
 
-    c = r1[: NX * T].reshape(T, NX)
-    ru = r1[NX * T:].reshape(T, NU)
-    g = r4[: NX * T].reshape(T, NX)
-    rnu = r4[NX * T:].reshape(T, N_MX_PER_STAGE)
+    c, ru, _, rnu, ry = _split_condensed_rhs(qp, r1, r4, q_inv)
     rz = r_z.reshape(T, N_INEQ_PER_STAGE)
-    ry = g - q_inv[None] * c
-    ry = ry.at[1:].add((Ad @ (q_inv[:, None] * c[:-1].T)).T)
 
     r_uh = ru * c_u[None, :]
     r_zn = jnp.concatenate([rz, rnu], axis=1)  # (T, 18)
@@ -974,8 +973,22 @@ def _solve_ric_aug_core(qp: StageQP, factors, r1, r_z, r4):
 # Main iteration.
 # ---------------------------------------------------------------------------
 
+_PURE_BACKENDS = ("tridiag", "tridiag_aug", "dense", "ric", "ric_aug",
+                  "ric_aug_core")
+
+
 def _iteration(qp: StageQP, st: PdipmState, opts: PdipmOptions):
     """One Mehrotra predictor-corrector step (reference rule, reduced solve)."""
+    # Validate here, not only in the controller's menu: the dispatch below
+    # ends in an `else` (tridiag), and a stale/typo'd backend string (e.g.
+    # the removed "bcr") silently timing the wrong solver is exactly the
+    # bug class that mislabels benchmarks.
+    if opts.backend not in _PURE_BACKENDS:
+        raise ValueError(
+            f"unknown pdipm backend {opts.backend!r}; expected one of "
+            f"{_PURE_BACKENDS} (note: 'bcr' was removed in round 4 — "
+            "results/ab_round4.jsonl phase E)"
+        )
     x, s, z, y = st
     ni = qp.n_ineq
     hd = qps.h_diag(qp)

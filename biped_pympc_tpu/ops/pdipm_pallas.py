@@ -1494,6 +1494,13 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
     from (warm start / chunked continuation); None uses the reference cold
     start x=0, s=max(d,1), z=1, y=1.
     """
+    known = ("tridiag", "tridiag_aug", "ric", "ric2", "ric_aug")
+    if opts.backend not in known:
+        raise ValueError(
+            f"unknown Pallas pdipm backend {opts.backend!r}; expected one "
+            f"of {known} (note: 'bcr' was removed in round 4 — "
+            "results/ab_round4.jsonl phase E)"
+        )
     batch = qp.f.shape[0]
     horizon = qp.d.shape[1]
     tile, pad = _tile_and_pad(batch, tile, _interpret(opts))

@@ -167,17 +167,20 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
         (state, x, foot_w, _), _ = jax.lax.scan(
             tick, (state, x, foot_w, grf0), jnp.arange(decimation))
 
-        # Fall detection + reward (`rl_env.RlMpcEnv.step`).
+        # Fall detection + reward (`rl_env.RlMpcEnv.step` with its 0.55
+        # constants generalized to the commanded height: the band is
+        # height -0.25/+0.25 and the height bonus tracks the command, so
+        # a non-default height is rewarded, not fought).
         fell = (
             (jnp.abs(x[:, 0:2]).max(axis=1) > 0.5)
-            | (x[:, 5] < 0.3)
-            | (x[:, 5] > 0.8)
+            | (x[:, 5] < height - 0.25)
+            | (x[:, 5] > height + 0.25)
         )
         vx_err = x[:, 9] - vx_cmd
         reward = (
             1.0
             - 2.0 * jnp.abs(vx_err)
-            - 0.5 * jnp.abs(x[:, 5] - 0.55)
+            - 0.5 * jnp.abs(x[:, 5] - height)
             - 5.0 * fell.astype(jnp.float32)
         )
 

@@ -327,3 +327,18 @@ def test_kkt_error_criterion():
     bad = res20._replace(x=res20.x + 1.0)
     eb = np.asarray(pdipm.kkt_error(qp, bad))
     assert float(eb[:3].max()) > 10.0 * float(e20[:3].max()), (eb, e20)
+
+
+def test_unknown_backend_rejected():
+    """The solver layers validate opts.backend themselves (round-4 review
+    finding: after narrowing the valid set, the dispatch's trailing else
+    would otherwise silently run tridiag for a stale string like the
+    removed "bcr" — mislabeling benchmarks)."""
+    from biped_pympc_tpu.ops import pdipm_pallas as pp
+
+    qp = _make_qp()
+    with pytest.raises(ValueError, match="unknown pdipm backend"):
+        pdipm.solve(qp, pdipm.PdipmOptions(backend="bcr"))
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), qp, qp)
+    with pytest.raises(ValueError, match="unknown Pallas pdipm backend"):
+        pp.solve(batch, pdipm.PdipmOptions(backend="bcr"), tile=2)

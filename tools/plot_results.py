@@ -237,7 +237,10 @@ def plot_training(rows, out):
             sm = r["summary"]
             runs.append((sm["num_envs"], cur_mass, cur,
                          sm.get("env_steps_per_s")))
-            cur = []
+            # Reset both accumulators at the run boundary so iter rows
+            # whose header was trimmed away don't inherit this run's
+            # mass-error label.
+            cur, cur_mass = [], 1.0
         elif "run" in r:
             cur = []
             cur_mass = r.get("params", {}).get("mass_error", 1.0)
