@@ -42,6 +42,7 @@ from tpu_rollout import (  # noqa: E402  (examples-local module)
 
 OBS_DIM = 14
 ACT_DIM = 10
+ACT_DIM_MATRIX = 16  # with matrix_residual=True (extra B-residual dims)
 
 
 class EnvCarry(NamedTuple):
@@ -52,7 +53,8 @@ class EnvCarry(NamedTuple):
 
 def make_device_env(num_envs: int, vx_cmd: float = 0.3,
                     solver: str = "pallas_ric_aug", height: float = 0.55,
-                    plant_mass_scale: float = 1.0):
+                    plant_mass_scale: float = 1.0,
+                    matrix_residual: bool = False):
     """Build (env_step, reset_all, rl_obs, core) for a device-resident env.
 
     env_step(carry, action) -> (carry, reward (B,), done (B,) bool)
@@ -70,6 +72,13 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
     that make the nominal model match the true plant (e.g. a negative z
     residual makes the MPC believe gravity is stronger, commanding the
     extra force a heavier plant needs).
+
+    matrix_residual=True mirrors the host env's knob (`rl_env.RlMpcEnv`):
+    the action grows to 16 dims, with [10:13]/[13:16] driving the
+    (12, 12) B-matrix residual through the diagonal force/moment-
+    effectiveness parameterization (`set_srbd_residual` made real in
+    round 4). The residual state leaves exist from reset, so the program
+    structure is fixed — no recompile mid-training.
     """
     import dataclasses
 
@@ -95,6 +104,9 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
 
     def reset_all() -> EnvCarry:
         state = core.init_state(num_envs)
+        if matrix_residual:
+            z = jnp.zeros((num_envs, 12, 12), jnp.float32)
+            state = state._replace(residual_A=z, residual_B=z)
         twist = jnp.zeros((num_envs, 3), jnp.float32).at[:, 0].set(vx_cmd)
         state = core.set_command(
             state, twist, jnp.full((num_envs,), height, jnp.float32))
@@ -145,6 +157,23 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
             residual_lin_accel=1.0 * action[:, 4:7],
             residual_ang_accel=1.0 * action[:, 7:10],
         )
+        if matrix_residual:
+            # Diagonal B-residual parameterization, matching the host
+            # env: force effectiveness on the v_dot rows, moment
+            # effectiveness on the omega_dot rows, per axis per env.
+            b = num_envs
+            eye3 = jnp.eye(3, dtype=jnp.float32)
+            f_scale = 0.3 / float(robot.mass)
+            i_inv = 1.0 / jnp.asarray(
+                np.diag(np.asarray(robot.i_body)), jnp.float32)
+            fd = f_scale * action[:, 10:13]  # (B, 3)
+            md = 0.3 * i_inv[None] * action[:, 13:16]
+            rb = jnp.zeros((b, 12, 12), jnp.float32)
+            rb = rb.at[:, 9:12, 0:3].set(fd[:, :, None] * eye3)
+            rb = rb.at[:, 9:12, 3:6].set(fd[:, :, None] * eye3)
+            rb = rb.at[:, 6:9, 6:9].set(md[:, :, None] * eye3)
+            rb = rb.at[:, 6:9, 9:12].set(md[:, :, None] * eye3)
+            state = state._replace(residual_B=rb)
 
         def tick(c, k):
             state, x, foot_w, grf = c

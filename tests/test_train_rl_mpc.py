@@ -103,3 +103,28 @@ def test_device_env_mass_error_task():
     r_fix = run(1.3, w_comp)
     assert r_deg < r_nom, (r_deg, r_nom)
     assert r_fix > r_deg, (r_fix, r_deg)
+
+
+def test_device_env_matrix_residual_actions():
+    """Device-env parity with the host env's matrix_residual knob: 16-dim
+    actions drive the (12,12) B residual inside the jitted rollout; a
+    force-effectiveness residual changes the trajectory vs the zero
+    policy, everything stays finite."""
+    import jax.numpy as jnp
+
+    env_step, reset_all, rl_obs, _ = rl_env_tpu.make_device_env(
+        2, solver="tridiag_aug", matrix_residual=True)
+    rollout = rl_env_tpu.make_rollout(env_step, rl_obs, 3)
+
+    w0 = jnp.zeros((2, rl_env_tpu.ACT_DIM_MATRIX, rl_env_tpu.OBS_DIM),
+                   jnp.float32)
+    carry0, ret0 = rollout(reset_all(), w0)
+    # constant force-effectiveness residual via the height obs feature
+    w1 = w0.at[:, 10:13, 3].set(2.0)
+    carry1, ret1 = rollout(reset_all(), w1)
+
+    assert np.isfinite(np.asarray(ret0)).all()
+    assert np.isfinite(np.asarray(ret1)).all()
+    assert carry1.state.residual_B is not None
+    assert not np.allclose(np.asarray(carry0.x), np.asarray(carry1.x),
+                           atol=1e-4)
