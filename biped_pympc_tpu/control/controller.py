@@ -54,6 +54,8 @@ class ControllerState(NamedTuple):
     # randomizing them per env is impossible there; here they are data.
     mu: jnp.ndarray  # (B,) friction coefficient
     f_max: jnp.ndarray  # (B,) per-foot vertical-force cap [N]
+    lt: jnp.ndarray  # (B,) toe line-contact lever arm [m]
+    lh: jnp.ndarray  # (B,) heel line-contact lever arm [m]
     # Latest MPC products kept for the wrapper properties
     x_ref: jnp.ndarray  # (B, T, 12)
     mpc_cost: jnp.ndarray  # (B,)
@@ -182,6 +184,8 @@ class BipedControllerCore:
             residual_ang_accel=zeros(3),
             mu=jnp.full((b,), float(self.robot.mu), dtype=dt),
             f_max=jnp.full((b,), self.mpc_cfg.f_max, dtype=dt),
+            lt=jnp.full((b,), float(self.robot.lt), dtype=dt),
+            lh=jnp.full((b,), float(self.robot.lh), dtype=dt),
             x_ref=zeros(self.mpc_cfg.horizon_length, 12),
             mpc_cost=zeros(),
             contact_phase=zeros(2),
@@ -280,17 +284,19 @@ class BipedControllerCore:
             contact_frame=self.mpc_cfg.contact_frame,
         )
         return jax.vmap(
-            lambda mem, est, des, ct, dtm, rl, ra, mu, fmax, ra_mat, rb_mat:
+            lambda mem, est, des, ct, dtm, rl, ra, mu, fmax, lt, lh,
+            ra_mat, rb_mat:
             build(
                 mem, est, des, ct, dtm,
                 residual_lin_accel=rl, residual_ang_accel=ra,
-                mu=mu, f_max=fmax,
+                mu=mu, f_max=fmax, lt=lt, lh=lh,
                 residual_A=ra_mat, residual_B=rb_mat,
             )
         )(
             state.mpc_mem, state.est, state.des, contact_table,
             state.dt_mpc, state.residual_lin_accel, state.residual_ang_accel,
-            state.mu, state.f_max, state.residual_A, state.residual_B,
+            state.mu, state.f_max, state.lt, state.lh,
+            state.residual_A, state.residual_B,
         )
 
     @functools.partial(jax.jit, static_argnums=0)

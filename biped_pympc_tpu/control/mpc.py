@@ -150,11 +150,17 @@ def build_mpc_qp(
     contact_frame: str = "world",
     residual_A=None,
     residual_B=None,
+    lt=None,
+    lh=None,
 ):
     """Per-env QP assembly half of the MPC step (vmapped by the caller).
 
     f_max and mu may be Python floats or per-env traced scalars (DRL /
     domain-randomization knobs); mu=None uses the robot's default.
+
+    lt / lh: toe / heel line-contact lever arms [m]; None uses the robot's
+    real foot geometry (`RobotSpec.lt/lh` — the reference hardcodes
+    HECTOR's values for every robot, `srbd_constraints.py:161-162`).
 
     residual_A / residual_B: optional (12, 12) learned dynamics residuals
     added to the continuous-time SRBD linearization before discretization
@@ -200,10 +206,12 @@ def build_mpc_qp(
          est.root_velocity_w]
     )
     mu_v = jnp.asarray(robot.mu if mu is None else mu, dtype=dtype)
+    lt_v = jnp.asarray(robot.lt if lt is None else lt, dtype=dtype)
+    lh_v = jnp.asarray(robot.lh if lh is None else lh, dtype=dtype)
     qp = qps.build_qp(
         lin, x0, x_ref, contact_table.astype(dtype), dt_mpc,
         mu_v, q_weights, r_weights, horizon,
-        euler_rate_mode, f_max,
+        euler_rate_mode, f_max, lt_v, lh_v,
     )
     if contact_frame == "yaw":
         # u in yaw-aligned axes: rotate Bd's input columns by R_z(yaw)
@@ -332,6 +340,7 @@ def solve_mpc(
         lin, x0, x_ref, contact_table.astype(dtype), dt_mpc,
         jnp.asarray(robot.mu, dtype=dtype), q_weights, r_weights, horizon,
         euler_rate_mode, f_max,
+        jnp.asarray(robot.lt, dtype=dtype), jnp.asarray(robot.lh, dtype=dtype),
     )
     sol = pdipm.solve(qp, opts)
 

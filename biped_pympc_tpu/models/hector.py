@@ -25,6 +25,11 @@ I_BODY = np.array(
     [[0.5413, 0.0, 0.0], [0.0, 0.5200, 0.0], [0.0, 0.0, 0.0691]]
 )  # `hector.py:35-37`
 MU = 1.0  # `hector.py:38`
+# Toe/heel line-contact lever arms: the values the reference bakes into its
+# QP for every robot (`srbd_constraints.py:161-162`) — sized for HECTOR's
+# 0.11 m foot with the ankle ~2/3 back from the toe.
+LT = 0.07
+LH = 0.04
 KP = (40.0, 40.0, 70.0, 70.0, 40.0)  # `hector.py:10`
 KD = (1.0, 1.0, 0.7, 0.7, 0.7)  # `hector.py:11`
 TORQUE_LIMIT = (33.5, 33.5, 33.5, 67.0, 33.5, 33.5, 33.5, 33.5, 67.0, 33.5)

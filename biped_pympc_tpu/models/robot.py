@@ -24,6 +24,14 @@ class RobotSpec:
     mass: float
     i_body: np.ndarray  # (3, 3)
     mu: float
+    # Toe / heel lever arms [m] of the line-contact foot: the pitch-moment
+    # authority per newton of normal force (-lt*fz <= my <= lh*fz rows of
+    # the MPC inequality block, `ops/qp.py:stage_ineq_block`). The reference
+    # hardcodes HECTOR's 0.07/0.04 for every robot
+    # (`srbd_constraints.py:161-162`); here they are per-robot (and, via
+    # ControllerState.lt/lh, per-env) data.
+    lt: float
+    lh: float
     kp: tuple  # (num_dof,)
     kd: tuple  # (num_dof,)
     torque_limit: tuple  # (2 * num_dof,)
@@ -40,6 +48,8 @@ HECTOR = RobotSpec(
     mass=hector.MASS,
     i_body=hector.I_BODY,
     mu=hector.MU,
+    lt=hector.LT,
+    lh=hector.LH,
     kp=hector.KP,
     kd=hector.KD,
     torque_limit=hector.TORQUE_LIMIT,
@@ -55,6 +65,8 @@ T1 = RobotSpec(
     mass=t1.MASS,
     i_body=t1.I_BODY,
     mu=t1.MU,
+    lt=t1.LT,
+    lh=t1.LH,
     kp=t1.KP,
     kd=t1.KD,
     torque_limit=t1.TORQUE_LIMIT,

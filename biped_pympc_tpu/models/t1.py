@@ -37,6 +37,17 @@ I_BODY = np.array(
     [[0.5413, 0.0, 0.0], [0.0, 0.5200, 0.0], [0.0, 0.0, 0.0691]]
 )  # `t1.py:72-74`
 MU = 1.0
+# Toe/heel line-contact lever arms from the T1's real foot: the URDF's foot
+# collision box is 0.223 m long, centered 0.01 m ahead of the ankle/sole
+# origin (`/root/reference/model/t1_serial.urdf:920-927`
+# <box size="0.223 0.1 0.03"/> at xyz 0.01 0 -0.015), so
+#   lt = 0.223/2 + 0.01 = 0.1215 m,  lh = 0.223/2 - 0.01 = 0.1015 m.
+# The reference instead applies HECTOR's 0.07/0.04 to T1
+# (`srbd_constraints.py:161-162` — baked into the compiled kernel), halving
+# the 40 kg robot's available pitch-moment authority; measured on TPU this
+# is a primary cause of its height/velocity tracking gap (BENCH.md round 5).
+LT = 0.1215
+LH = 0.1015
 KP = (20.0, 20.0, 20.0, 20.0, 15.0, 15.0)  # `t1.py:47`
 KD = (1.0, 1.0, 0.7, 0.7, 0.7, 0.7)  # `t1.py:48`
 TORQUE_LIMIT = (

@@ -35,6 +35,7 @@ def _ensure_built() -> ctypes.CDLL:
     lib.srbd_mpc_solve_batch.argtypes = [
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # batch T it rt
         ctypes.c_double, ctypes.c_double, ctypes.c_double,  # dt mu mass
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,  # lt lh f_max
         dp, dp,  # Q R
         dp, dp, dp, dp, dp, dp, dp, dp, dp, dp,  # per-env arrays
         ctypes.c_int, dp,  # n_threads, x_out
@@ -61,10 +62,15 @@ def solve_batch(
     iterations: int = 20,
     euler_rate_mode: str = "rt_omega",
     n_threads: int = 0,
+    lt: float = 0.07,
+    lh: float = 0.04,
+    f_max: float = 500.0,
 ) -> np.ndarray:
     """Solve a batch of SRBD-MPC QPs on CPU; returns (B, 24*T) primal x.
 
     n_threads: 0 serial, -1 all cores (OpenMP), k > 0 exactly k threads.
+    lt / lh / f_max: contact geometry and force cap (defaults = the
+    reference's hardcoded HECTOR values, `srbd_constraints.py:31,161-162`).
     """
     lib = _ensure_built()
     B, T = x_ref.shape[0], x_ref.shape[1]
@@ -86,6 +92,7 @@ def solve_batch(
     lib.srbd_mpc_solve_batch(
         B, T, iterations, 1 if euler_rate_mode == "rt_omega" else 0,
         float(dt_mpc), float(mu), float(mass),
+        float(lt), float(lh), float(f_max),
         *ptrs, int(n_threads), x_out.ctypes.data_as(dp),
     )
     return x_out

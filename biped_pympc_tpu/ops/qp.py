@@ -34,10 +34,13 @@ NU = 12  # inputs per stage: [F_L, F_R, M_L, M_R]
 N_INEQ_PER_STAGE = 16
 N_MX_PER_STAGE = 2  # Mx_left = Mx_right = 0 (no ankle-roll actuation)
 
-# Constants from `srbd_constraints.py:31,161-162`.
+# Constants from `srbd_constraints.py:31,161-162`. The reference bakes all
+# three into its compiled kernel for EVERY robot; here they are per-call (and
+# per-env) data, with these HECTOR-sized values as the defaults. T1's real
+# foot geometry lives in `models/robot.py` (RobotSpec.lt/lh).
 F_MAX = 500.0
-LT = 0.07  # toe lever arm (line contact)
-LH = 0.04  # heel lever arm
+LT = 0.07  # toe lever arm (line contact), HECTOR default
+LH = 0.04  # heel lever arm, HECTOR default
 
 # Column indices of u hit by the per-stage inequality rows.
 _MX_COLS = (6, 9)  # u_i[6] = Mx_left, u_i[9] = Mx_right
@@ -75,12 +78,21 @@ class StageQP(NamedTuple):
         return N_INEQ_PER_STAGE * self.horizon
 
 
-def stage_ineq_block(mu: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+def stage_ineq_block(mu: jnp.ndarray, lt=LT, lh=LH,
+                     dtype=jnp.float32) -> jnp.ndarray:
     """(16, 12) inequality rows on u_i = [f1, f2, m1, m2].
 
     Row order matches `srbd_constraints.py:194-222`:
       [fp_left x-, x+, y-, y+, line lt, line lh, -fz, fz] then same for right.
+
+    lt / lh: toe / heel lever arms [m] of the line contact (how much pitch
+    moment the foot can carry per newton of normal force). The reference
+    hardcodes HECTOR's 0.07/0.04 for every robot (`srbd_constraints.py:
+    161-162`); here they are data — scalars or per-env traced values.
     """
+    mu = jnp.asarray(mu, dtype=dtype)
+    lt = jnp.asarray(lt, dtype=dtype)
+    lh = jnp.asarray(lh, dtype=dtype)
     g = jnp.zeros((16, 12), dtype=dtype)
     for foot, (fc, mc) in enumerate(((0, 6), (3, 9))):
         r = 8 * foot
@@ -90,8 +102,8 @@ def stage_ineq_block(mu: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
         g = g.at[r + 2, fc + 1].set(-1.0).at[r + 2, fc + 2].add(-mu)
         g = g.at[r + 3, fc + 1].set(1.0).at[r + 3, fc + 2].add(-mu)
         # line contact: -lt fz - my <= 0 ; -lh fz + my <= 0
-        g = g.at[r + 4, fc + 2].set(-LT).at[r + 4, mc + 1].set(-1.0)
-        g = g.at[r + 5, fc + 2].set(-LH).at[r + 5, mc + 1].set(1.0)
+        g = g.at[r + 4, fc + 2].add(-lt).at[r + 4, mc + 1].set(-1.0)
+        g = g.at[r + 5, fc + 2].add(-lh).at[r + 5, mc + 1].set(1.0)
         # force saturation: -fz <= 0 ; fz <= F_max * contact
         g = g.at[r + 6, fc + 2].set(-1.0)
         g = g.at[r + 7, fc + 2].set(1.0)
@@ -110,6 +122,8 @@ def build_qp(
     horizon: int,
     euler_rate_mode: str = "rt_omega",
     f_max: float = F_MAX,
+    lt=LT,
+    lh=LH,
 ) -> StageQP:
     """Assemble the structured QP for one env.
 
@@ -122,6 +136,10 @@ def build_qp(
     multi-hour kernel recompile); here it is plain data. 500 N is sized for
     the 13.9 kg HECTOR (~3.7x mg); the 40 kg T1 (mg = 392 N) needs ~800 N
     for equivalent control authority.
+
+    lt / lh: toe / heel lever arms [m] of the line contact (see
+    `stage_ineq_block`). Defaults are the reference's hardcoded HECTOR
+    values; pass the robot's real foot geometry (`RobotSpec.lt/lh`).
     """
     dtype = x0.dtype
     dyn = discrete_dynamics(lin, dt_mpc, euler_rate_mode)
@@ -132,7 +150,7 @@ def build_qp(
 
     b0 = dyn.A @ x0 + dyn.c
 
-    g_u = stage_ineq_block(mu, dtype=dtype)
+    g_u = stage_ineq_block(mu, lt, lh, dtype=dtype)
     d = jnp.zeros((horizon, N_INEQ_PER_STAGE), dtype=dtype)
     d = d.at[:, 7].set(f_max * contact_table[:, 0])
     d = d.at[:, 15].set(f_max * contact_table[:, 1])

@@ -140,23 +140,24 @@ class MPCController:
         self.state = self.state._replace(
             residual_A=A_residual, residual_B=B_residual)
 
-    def set_contact_parameters(self, mu=None, f_max=None) -> None:
-        """Per-env friction coefficient and per-foot vertical-force cap [N].
+    def set_contact_parameters(self, mu=None, f_max=None, lt=None,
+                               lh=None) -> None:
+        """Per-env contact parameters: friction coefficient, per-foot
+        vertical-force cap [N], and toe/heel line-contact lever arms [m].
 
-        Domain-randomization knobs beyond the reference: both are baked
-        into its compiled kernel (`srbd_constraints.py:31,144-227`), here
-        they are per-env data. Pass (B,) arrays (or scalars to broadcast);
-        None leaves a parameter unchanged.
+        Domain-randomization knobs beyond the reference: all four are baked
+        into its compiled kernel (`srbd_constraints.py:31,144-227,161-162`),
+        here they are per-env data. Pass (B,) arrays (or scalars to
+        broadcast); None leaves a parameter unchanged. lt/lh default to the
+        robot's real foot geometry (`RobotSpec.lt/lh`).
         """
         state = self.state
-        if mu is not None:
-            state = state._replace(
-                mu=jnp.broadcast_to(
-                    jnp.asarray(mu, state.mu.dtype), state.mu.shape))
-        if f_max is not None:
-            state = state._replace(
-                f_max=jnp.broadcast_to(
-                    jnp.asarray(f_max, state.f_max.dtype), state.f_max.shape))
+        for name, val in (("mu", mu), ("f_max", f_max), ("lt", lt),
+                          ("lh", lh)):
+            if val is not None:
+                cur = getattr(state, name)
+                state = state._replace(**{name: jnp.broadcast_to(
+                    jnp.asarray(val, cur.dtype), cur.shape)})
         self.state = state
 
     # ------------------------------------------------------------------

@@ -32,9 +32,12 @@ constexpr int NX = 12;     // states per knot
 constexpr int NU = 12;     // inputs per stage
 constexpr int NI = 16;     // inequality rows per stage
 constexpr int NMX = 2;     // Mx equality rows per stage
-constexpr double F_MAX = 500.0;  // srbd_constraints.py:31
-constexpr double LT = 0.07;      // srbd_constraints.py:161
-constexpr double LH = 0.04;      // srbd_constraints.py:162
+// Defaults only — all three are runtime parameters of build_qp /
+// srbd_mpc_solve_batch (the reference bakes HECTOR's values into its
+// compiled kernel for every robot: srbd_constraints.py:31,161-162).
+constexpr double F_MAX = 500.0;
+constexpr double LT = 0.07;   // toe lever arm (HECTOR)
+constexpr double LH = 0.04;   // heel lever arm (HECTOR)
 constexpr double GRAV = 9.81;
 
 // --- tiny dense helpers (row-major) ---------------------------------------
@@ -199,7 +202,8 @@ void build_dynamics(const double* rot, const double* iw, const double* bpos,
 }
 
 void build_qp(const double* x0, const double* xref, const double* contact,
-              const double* Q, const double* Rw, double mu, int T, Problem& P) {
+              const double* Q, const double* Rw, double mu, int T, Problem& P,
+              double lt = LT, double lh = LH, double f_max = F_MAX) {
   P.T = T;
   const int nz = P.nz();
   P.hdiag.assign(nz, 0.0);
@@ -223,15 +227,15 @@ void build_qp(const double* x0, const double* xref, const double* contact,
     P.Gu[(r + 1) * NU + fc] = 1.0;   P.Gu[(r + 1) * NU + fc + 2] = -mu;
     P.Gu[(r + 2) * NU + fc + 1] = -1.0; P.Gu[(r + 2) * NU + fc + 2] = -mu;
     P.Gu[(r + 3) * NU + fc + 1] = 1.0;  P.Gu[(r + 3) * NU + fc + 2] = -mu;
-    P.Gu[(r + 4) * NU + fc + 2] = -LT;  P.Gu[(r + 4) * NU + mc + 1] = -1.0;
-    P.Gu[(r + 5) * NU + fc + 2] = -LH;  P.Gu[(r + 5) * NU + mc + 1] = 1.0;
+    P.Gu[(r + 4) * NU + fc + 2] = -lt;  P.Gu[(r + 4) * NU + mc + 1] = -1.0;
+    P.Gu[(r + 5) * NU + fc + 2] = -lh;  P.Gu[(r + 5) * NU + mc + 1] = 1.0;
     P.Gu[(r + 6) * NU + fc + 2] = -1.0;
     P.Gu[(r + 7) * NU + fc + 2] = 1.0;
   }
   P.d.assign(T * NI, 0.0);
   for (int t = 0; t < T; ++t) {
-    P.d[t * NI + 7] = F_MAX * contact[t * 2 + 0];
-    P.d[t * NI + 15] = F_MAX * contact[t * 2 + 1];
+    P.d[t * NI + 7] = f_max * contact[t * 2 + 0];
+    P.d[t * NI + 15] = f_max * contact[t * 2 + 1];
   }
 }
 
@@ -483,7 +487,7 @@ void srbd_mpc_dump_problem(
 // otherwise OpenMP with that many threads (-1 = all cores).
 void srbd_mpc_solve_batch(
     int batch, int T, int iterations, int euler_rt, double dt, double mu,
-    double mass,
+    double mass, double lt, double lh, double f_max,
     const double* Q,        // (12)
     const double* Rw,       // (12)
     const double* x0,       // (batch, 12)
@@ -505,7 +509,7 @@ void srbd_mpc_solve_batch(
                    rf + 3 * e, mass, res_lin + 3 * e, res_ang + 3 * e, dt,
                    euler_rt, P);
     build_qp(x0 + NX * e, xref + NX * T * e, contact + 2 * T * e, Q, Rw, mu, T,
-             P);
+             P, lt, lh, f_max);
     // init per mpc_controller_cusadi.py:138-141: x=0, s=max(d,1), z=1, y=1
     std::vector<double> x(nz, 0.0), s(P.nineq()), z(P.nineq(), 1.0),
         y(P.neq(), 1.0);
