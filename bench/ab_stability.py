@@ -46,7 +46,15 @@ if "--obs-ik" in _sys.argv:
     obs_ik = _sys.argv[_sys.argv.index("--obs-ik") + 1]
 height = 0.55 if robot == "HECTOR" else 0.62
 f_max = 500.0 if robot == "HECTOR" else 1450.0
-core = BipedControllerCore(ControllerConf(),
+# Round 5: T1 runs its tuned configuration (real foot levers via
+# RobotSpec.lt/lh + the ab_t1_tune.py-measured gait: ssp=9, dsp=2,
+# swing 0.12) unless --reference-constants asks for the round-4 setup.
+if robot != "HECTOR" and "--reference-constants" not in _sys.argv:
+    from biped_pympc_tpu.config import recommended_conf
+    cconf, _ = recommended_conf(robot)
+else:
+    cconf = ControllerConf()
+core = BipedControllerCore(cconf,
                            MPCConf(solver=solver, contact_frame=frame,
                                    robot=robot, f_max=f_max),
                            gait_id=2)
@@ -68,6 +76,11 @@ state = core.set_command(state, jnp.asarray(twist),
                          jnp.full((batch,), height, jnp.float32))
 state = state._replace(
     gait_phase=jnp.asarray(rng.uniform(0, 1, batch).astype(np.float32)))
+if "--reference-constants" in _sys.argv:
+    # Round-4 replication mode: the reference's hardcoded HECTOR levers.
+    state = state._replace(lt=jnp.full((batch,), 0.07, jnp.float32),
+                           lh=jnp.full((batch,), 0.04, jnp.float32))
+    emit({"note": "reference-constants mode: lt/lh forced to 0.07/0.04"})
 carry = (state, x, foot_w)
 cmd_vx = twist[:, 0]
 for sec in range(30):

@@ -10,8 +10,8 @@ Public API mirrors the reference package root
 (`/root/reference/biped_pympc/__init__.py`).
 """
 
-from biped_pympc_tpu.config import ControllerConf, MPCConf
+from biped_pympc_tpu.config import ControllerConf, MPCConf, recommended_conf
 from biped_pympc_tpu.wrapper import MPCController
 
-__all__ = ["MPCController", "MPCConf", "ControllerConf"]
+__all__ = ["MPCController", "MPCConf", "ControllerConf", "recommended_conf"]
 __version__ = "0.1.0"

@@ -32,6 +32,32 @@ class ControllerConf:
     swing_curve: Literal["bezier", "cycloid"] = "bezier"
 
 
+def recommended_conf(robot: str = "HECTOR"):
+    """(ControllerConf, MPCConf kwargs) tuned per robot, TPU-measured.
+
+    The reference ships one set of gait/contact constants sized for HECTOR
+    and applies them to every robot (`configuration.py:6-20`,
+    `srbd_constraints.py:31,161-162`). The round-5 TPU sweep
+    (`bench/ab_t1_tune.py`, results/t1_tune.jsonl: 24 configs x 16
+    randomized commands as ONE batched rollout) measured the 40 kg T1's
+    tuned gait: longer swing (ssp=9 vs 5 MPC steps), a short double-support
+    phase (dsp=2), higher swing apex (0.12 m), plus its real foot levers
+    (RobotSpec.lt/lh, on by default) and f_max=1450 N — taking the 10 s
+    randomized protocol from 59% upright / 6 cm height error
+    (reference-constants configuration) to 100% upright / 0.8 cm.
+
+    Returns (ControllerConf, dict); apply the dict as MPCConf(**kwargs,
+    robot=robot, ...) extra defaults.
+    """
+    if robot.startswith("T1"):
+        return (
+            ControllerConf(ssp_durations=9, dsp_durations=2,
+                           swing_height=0.12),
+            {"robot": robot, "f_max": 1450.0, "contact_frame": "yaw"},
+        )
+    return ControllerConf(), {"robot": robot, "contact_frame": "yaw"}
+
+
 @dataclass(frozen=True)
 class MPCConf:
     """(`configuration.py:22-57`)."""
