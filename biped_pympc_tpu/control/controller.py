@@ -315,11 +315,12 @@ class BipedControllerCore:
             from biped_pympc_tpu.ops import pdipm_pallas
 
             if self.mpc_cfg.solver == "pallas_hybrid":
-                sol = pdipm_pallas.solve_hybrid(
+                sol, hybrid_stats = pdipm_pallas.solve_hybrid(
                     qp, self.opts,
                     budget=self.mpc_cfg.hybrid_budget,
                     flag_tol=self.mpc_cfg.hybrid_flag_tol,
                     flag=self.mpc_cfg.hybrid_flag,
+                    with_stats=True,
                 )
             elif adaptive:
                 sol = pdipm_pallas.solve_adaptive(
@@ -340,6 +341,11 @@ class BipedControllerCore:
                 contact_frame=self.mpc_cfg.contact_frame,
             )
         )(qp, sol, state.est.rotation_body, x_ref)
+        if self.mpc_cfg.solver == "pallas_hybrid":
+            # Batch-level counters (no env axis); see MpcOutput docstring.
+            out = out._replace(hybrid_counts=jnp.stack(
+                [hybrid_stats.flagged, hybrid_stats.nonfinite,
+                 hybrid_stats.resolved, hybrid_stats.dropped_nonfinite]))
 
         cmd = state.leg_cmd._replace(wrench_ff=out.wrench)
         state = state._replace(

@@ -1616,6 +1616,21 @@ def _solve_bl(data: _BatchedQP, horizon: int, opts: PdipmOptions,
     return x, s, z, y, res
 
 
+class HybridStats(NamedTuple):
+    """Per-solve hybrid observability counters (all int32 scalars).
+
+    Makes the finiteness guarantee OPERATIONAL rather than calibrational
+    (round-5 VERDICT item): the guarantee holds only while the budget
+    covers the non-finite count, and `dropped_nonfinite > 0` is the
+    runtime signal that it has lapsed on this solve.
+    """
+
+    flagged: jnp.ndarray  # envs over flag_tol OR non-finite (whole batch)
+    nonfinite: jnp.ndarray  # envs with non-finite criterion/solution
+    resolved: jnp.ndarray  # envs actually re-solved + merged (<= budget)
+    dropped_nonfinite: jnp.ndarray  # non-finite envs NOT rescued (lapse!)
+
+
 def solve_hybrid(
     qp: StageQP,
     opts: PdipmOptions = PdipmOptions(),
@@ -1624,6 +1639,7 @@ def solve_hybrid(
     tile: int = 128,
     aug_opts: PdipmOptions | None = None,
     flag: str = "resid",
+    with_stats: bool = False,
 ) -> PdipmResult:
     """Fast condensed solve everywhere + robust re-solve of flagged envs.
 
@@ -1673,6 +1689,13 @@ def solve_hybrid(
         exact operator (`pdipm.kkt_error`, one vmapped operator apply —
         no factorization); measures directly what condensation lost.
         Round-4 calibration data in BENCH.md.
+
+    with_stats: return (PdipmResult, HybridStats) instead — per-solve
+    flagged/non-finite/re-solved counts plus `dropped_nonfinite`, the
+    budget-exhaustion signal (non-finite envs left unmerged because the
+    budget was smaller than the non-finite count). Wired through
+    `MpcOutput.hybrid_counts` and the wrapper's `hybrid_stats` property;
+    psum-reduced across shards by `parallel.mesh.shard_map_step`.
     """
     batch = qp.f.shape[0]
     if budget is None or budget <= 0:
@@ -1714,7 +1737,20 @@ def solve_hybrid(
         sel = need.reshape((k,) + (1,) * (b.ndim - 1))
         return a.at[idx].set(jnp.where(sel, b, a[idx]))
 
-    return jax.tree.map(merge, res, res_aug)
+    merged = jax.tree.map(merge, res, res_aug)
+    if not with_stats:
+        return merged
+    nonfinite = jnp.sum(jnp.isinf(crit)).astype(jnp.int32)
+    stats = HybridStats(
+        flagged=jnp.sum((crit > flag_tol) | jnp.isinf(crit)).astype(jnp.int32),
+        nonfinite=nonfinite,
+        resolved=jnp.sum(need).astype(jnp.int32),
+        # Non-finite envs rank +inf so they claim top-k slots first; any
+        # excess over the budget is returned unmerged — the guarantee lapse.
+        dropped_nonfinite=nonfinite
+        - jnp.sum(jnp.isinf(vals)).astype(jnp.int32),
+    )
+    return merged, stats
 
 
 def solve_adaptive(qp: StageQP, opts: PdipmOptions = PdipmOptions(),

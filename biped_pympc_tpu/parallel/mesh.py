@@ -106,6 +106,16 @@ def shard_map_step(step_fn, mesh: Mesh, with_metrics: bool = True):
             global_mean_cost = jax.lax.pmean(
                 jnp.mean(mpc_out.cost), axis_name=DATA_AXIS
             )
+            if mpc_out.hybrid_counts is not None:
+                # Hybrid observability counters are per-SHARD (each
+                # device's solve_hybrid sees only its shard); psum them
+                # into global counts and move them out of mpc_out (whose
+                # leaves are batch-sharded, the wrong out_spec for a
+                # replicated (4,) vector).
+                counts = jax.lax.psum(
+                    mpc_out.hybrid_counts, axis_name=DATA_AXIS)
+                mpc_out = mpc_out._replace(hybrid_counts=None)
+                return new_state, tau, mpc_out, (global_mean_cost, counts)
             return new_state, tau, mpc_out, global_mean_cost
         return out
 
@@ -136,7 +146,15 @@ def controller_step(core, mesh: Mesh, with_metrics: bool = False):
     `tests/test_controller.py::test_sharded_pallas_step_matches_single_device`
     and exercised by the driver dryrun (`__graft_entry__.dryrun_multichip`).
     """
-    fn = lambda st, o, tw, h: core.control_step(st, o, tw, h)
+    if core.mpc_cfg.solver == "pallas_hybrid" and not with_metrics:
+        # Without the metrics reduction the (4,) per-shard hybrid counters
+        # have no valid batch-sharded out_spec; they are an opt-in psum'd
+        # metric (with_metrics=True), so strip them here.
+        def fn(st, o, tw, h):
+            new_st, tau, out = core.control_step(st, o, tw, h)
+            return new_st, tau, out._replace(hybrid_counts=None)
+    else:
+        fn = lambda st, o, tw, h: core.control_step(st, o, tw, h)
     if core.mpc_cfg.solver.startswith("pallas"):
         return shard_map_step(fn, mesh, with_metrics=with_metrics)
     if with_metrics:

@@ -236,7 +236,7 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
 
 
 def make_rollout(env_step, rl_obs, steps: int):
-    """rollout(carry, w_per_env) -> (carry, returns (B,), env_steps ()).
+    """rollout(carry, w_per_env) -> (carry, returns (B,)).
 
     Per-env linear policies evaluated inside the scan: one dispatch rolls
     the entire population for `steps` RL steps (steps * decimation

@@ -379,3 +379,42 @@ def test_yaw_mode_matches_reference_at_zero_yaw():
         outs[frame] = np.asarray(ctrl.state.leg_cmd.wrench_ff)
     np.testing.assert_allclose(outs["yaw"], outs["world"],
                                atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_shard_map_hybrid_counts_psum():
+    """Round-5 hybrid observability under sharding: with metrics on, the
+    per-shard HybridStats counters are psum'd into global counts across
+    the 8-device mesh and returned as a replicated (4,) vector, while the
+    batch-sharded MpcOutput drops its per-shard copy."""
+    from biped_pympc_tpu.control.controller import BipedControllerCore
+    from biped_pympc_tpu.parallel import mesh as pmesh
+
+    assert jax.device_count() >= 8
+    core = BipedControllerCore(
+        ControllerConf(),
+        MPCConf(solver="pallas_hybrid", newton_iterations=4,
+                hybrid_flag_tol=-1.0, hybrid_budget=1, verbose=False),
+        gait_id=2,
+    )
+    B = 16
+    obs = jnp.asarray(_hector_obs(B))
+    twist = jnp.zeros((B, 3), jnp.float32).at[:, 0].set(0.2)
+    height = jnp.full((B,), 0.55, jnp.float32)
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    step = pmesh.controller_step(core, mesh, with_metrics=True)
+    _, _, out_sm, (mean_cost, counts) = step(
+        core.init_state(B), obs, twist, height)
+    assert out_sm.hybrid_counts is None  # moved out of the sharded tree
+    counts = np.asarray(counts)
+    # flag_tol=-1 flags everything: 16 global flagged; budget=1 PER SHARD
+    # (documented semantics) -> 8 devices x 1 = 8 resolved.
+    assert counts[0] == B, counts
+    assert counts[1] == 0 and counts[3] == 0, counts
+    assert counts[2] == 8, counts
+
+    # Without metrics the counters are stripped (opt-in metric).
+    step_plain = pmesh.controller_step(core, mesh, with_metrics=False)
+    _, _, out_plain = step_plain(core.init_state(B), obs, twist, height)
+    assert out_plain.hybrid_counts is None

@@ -335,3 +335,77 @@ def test_pallas_kernel_jacobi_scale(interpret_pallas):
         np.testing.assert_allclose(
             np.asarray(res_k.x), np.asarray(ref.x), rtol=1e-9, atol=1e-10,
             err_msg=f"{backend} split={split}")
+
+
+def test_hybrid_stats_and_budget_exceeded(interpret_pallas, monkeypatch):
+    """Round-5 observability: solve_hybrid(with_stats=True) reports
+    flagged/nonfinite/resolved counts, and `dropped_nonfinite` detects the
+    budget-exceeded lapse of the finiteness guarantee (3 NaN envs vs
+    budget 2 -> one env returned non-finite AND the counter says so)."""
+    qs = [_make_qp(seed=s, dtype=jnp.float32, vx=0.1 * s) for s in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qs)
+    opts = pdipm.PdipmOptions(backend="ric", refine_steps=1, iterations=2)
+
+    # Healthy batch, generous budget: nothing non-finite, nothing dropped.
+    res, st = pp.solve_hybrid(batch, opts, budget=4, flag_tol=np.inf,
+                              tile=4, with_stats=True)
+    assert int(st.nonfinite) == 0 and int(st.dropped_nonfinite) == 0
+    assert int(st.flagged) == 0 and int(st.resolved) == 0
+
+    # flag_tol=-1: everything flagged and re-solved within budget.
+    _, st_all = pp.solve_hybrid(batch, opts, budget=4, flag_tol=-1.0,
+                                tile=4, with_stats=True)
+    assert int(st_all.flagged) == 4 and int(st_all.resolved) == 4
+    assert int(st_all.dropped_nonfinite) == 0
+
+    # Poison 3 envs non-finite; budget 2 -> guarantee lapses on 1 env,
+    # and the lapse is OBSERVABLE (dropped_nonfinite == 1), with the
+    # returned batch indeed carrying exactly one non-finite env.
+    orig_solve = pp.solve
+
+    def poisoned(qp, o=pdipm.PdipmOptions(), tile=128, state=None):
+        res = orig_solve(qp, o, tile, state)
+        if qp.f.shape[0] == 4 and o.backend == "ric":
+            res = res._replace(
+                x=res.x.at[0].set(jnp.nan).at[1].set(jnp.nan).at[2].set(
+                    jnp.nan))
+        return res
+
+    monkeypatch.setattr(pp, "solve", poisoned)
+    res_l, st_l = pp.solve_hybrid(batch, opts, budget=2, flag_tol=np.inf,
+                                  tile=4, with_stats=True)
+    assert int(st_l.nonfinite) == 3
+    assert int(st_l.resolved) == 2
+    assert int(st_l.dropped_nonfinite) == 1
+    bad = ~np.isfinite(np.asarray(res_l.x)).all(axis=1)
+    assert bad.sum() == 1  # the counter told the truth
+
+
+def test_hybrid_stats_through_controller_and_wrapper(interpret_pallas):
+    """hybrid_counts ride MpcOutput through run_mpc and surface in the
+    wrapper's hybrid_stats property; other solvers report none."""
+    import numpy as _np
+    from biped_pympc_tpu import ControllerConf, MPCConf, MPCController
+
+    ctrl = MPCController(
+        ControllerConf(),
+        MPCConf(solver="pallas_hybrid", hybrid_budget=2, verbose=False),
+        num_envs=4,
+    )
+    assert ctrl.hybrid_stats == {}  # before the first solve
+    obs = _np.zeros((4, 13 + 30), _np.float32)
+    obs[:, 2] = 0.55
+    obs[:, 3] = 1.0
+    ctrl.update_state(obs)
+    ctrl.run_mpc()
+    st = ctrl.hybrid_stats
+    assert set(st) == {"flagged", "nonfinite", "resolved",
+                       "dropped_nonfinite"}
+    assert st["nonfinite"] == 0 and st["dropped_nonfinite"] == 0
+
+    ctrl2 = MPCController(
+        ControllerConf(), MPCConf(solver="ric_aug", verbose=False),
+        num_envs=2)
+    ctrl2.update_state(obs[:2])
+    ctrl2.run_mpc()
+    assert ctrl2.hybrid_stats == {}

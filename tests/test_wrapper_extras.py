@@ -159,3 +159,38 @@ def test_world_frame_swing_reference():
     _step_moving(ctrl_b, n=8)
     p_b = np.asarray(ctrl_b.ref_foot_pos_b)
     assert not np.allclose(p_w[:, 1], p_b[:, 1], atol=1e-5)
+
+
+def test_checkpoint_structure_mismatch_rejected(tmp_path):
+    """ADVICE r4: a checkpoint saved after set_srbd_residual must not load
+    silently into a residual-free controller (and vice versa) — the saved
+    treedef is validated and the error names set_srbd_residual."""
+    import numpy as _np
+    import pytest as _pytest
+
+    ctrl = MPCController(
+        ControllerConf(), MPCConf(verbose=False), num_envs=2)
+    ctrl.set_srbd_residual(
+        _np.zeros((2, 12, 12), _np.float32), _np.zeros((2, 12, 12), _np.float32))
+    path = str(tmp_path / "with_residual.npz")
+    ctrl.save_state(path)
+
+    fresh = MPCController(
+        ControllerConf(), MPCConf(verbose=False), num_envs=2)
+    with _pytest.raises(ValueError, match="set_srbd_residual"):
+        fresh.load_state(path)
+
+    # Matching the structure first makes the same checkpoint load.
+    fresh.set_srbd_residual(
+        _np.ones((2, 12, 12), _np.float32), _np.ones((2, 12, 12), _np.float32))
+    fresh.load_state(path)
+    _np.testing.assert_array_equal(_np.asarray(fresh.state.residual_A),
+                                   _np.zeros((2, 12, 12)))
+
+    # Reverse direction: residual-free checkpoint into a residual'd
+    # controller is also a clear error, not an opaque KeyError.
+    path2 = str(tmp_path / "plain.npz")
+    MPCController(ControllerConf(), MPCConf(verbose=False),
+                  num_envs=2).save_state(path2)
+    with _pytest.raises(ValueError, match="set_srbd_residual"):
+        fresh.load_state(path2)
