@@ -83,7 +83,7 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
     import dataclasses
 
     cfg = ControllerConf(ssp_durations=5, dsp_durations=0, swing_height=0.08)
-    mpc_cfg = MPCConf(solver=solver)
+    mpc_cfg = MPCConf(solver=solver, verbose=False)
     core = BipedControllerCore(cfg, mpc_cfg, gait_id=2)
     robot = core.robot
     dof = robot.num_dof
@@ -161,7 +161,9 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
             # Diagonal B-residual parameterization, matching the host
             # env: force effectiveness on the v_dot rows, moment
             # effectiveness on the omega_dot rows, per axis per env.
-            b = num_envs
+            # (Batch from the action, NOT num_envs: under shard_map the
+            # step sees only its device's shard.)
+            b = action.shape[0]
             eye3 = jnp.eye(3, dtype=jnp.float32)
             f_scale = 0.3 / float(robot.mass)
             i_inv = 1.0 / jnp.asarray(
@@ -192,7 +194,7 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
             x, foot_w = plant_tick(x, foot_w, rot, grf, contact, p_des_b)
             return (state, x, foot_w, grf), None
 
-        grf0 = jnp.zeros((num_envs, 12), jnp.float32)
+        grf0 = jnp.zeros((action.shape[0], 12), jnp.float32)
         (state, x, foot_w, _), _ = jax.lax.scan(
             tick, (state, x, foot_w, grf0), jnp.arange(decimation))
 
@@ -214,9 +216,10 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
         )
 
         # Masked reset of fallen envs (plant + controller), matching the
-        # host env's `plant.reset(fell); ctrl.reset(fell)`.
+        # host env's `plant.reset(fell); ctrl.reset(fell)`. Shapes from
+        # the carry (shard-size-agnostic under shard_map).
         state = core.reset(state, fell)
-        x_nom, foot_nom = _nominal_plant(num_envs)
+        x_nom, foot_nom = _nominal_plant(x.shape[0])
         x = jnp.where(fell[:, None], x_nom, x)
         foot_w = jnp.where(fell[:, None, None], foot_nom, foot_w)
         return EnvCarry(state, x, foot_w), reward, fell

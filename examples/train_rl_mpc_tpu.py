@@ -35,22 +35,81 @@ from rl_env_tpu import (  # noqa: E402  (examples-local module)
 )
 
 
+def make_sharded_training(mesh, num_envs: int, steps: int = 40,
+                          solver: str = "pallas_ric_aug",
+                          newton_iterations: int | None = None,
+                          plant_mass_scale: float = 1.0,
+                          matrix_residual: bool = False):
+    """Population evaluation with the ENV AXIS SHARDED over a device mesh.
+
+    The round-4 trainer ran its single-dispatch rollout on one chip while
+    the mesh machinery sat one file away (VERDICT item 4); this composes
+    them: the whole ARS population rollout — per-env policy matrices as
+    data, MPC solves included — runs under `shard_map`, each device
+    evaluating its shard of the population. The rollout body is per-env
+    independent, so the hot path has zero collectives (same contract the
+    dryrun asserts); the weight update on the host is the only global
+    synchronization point, exactly BASELINE.json's v5e-16 deployment
+    shape applied to the product training loop.
+
+    Returns (sharded_rollout, carry0, w0): jitted
+    rollout(carry, w_per_env) -> (carry, returns (B,)), the sharded
+    initial carry, and a zero sharded policy batch.
+    """
+    import jax.sharding as jsh
+
+    from biped_pympc_tpu.parallel import mesh as pmesh
+
+    act_dim = 16 if matrix_residual else ACT_DIM
+    env_step, reset_all, rl_obs, core = make_device_env(
+        num_envs, solver=solver, plant_mass_scale=plant_mass_scale,
+        matrix_residual=matrix_residual)
+    if newton_iterations:
+        core.opts = core.opts._replace(iterations=newton_iterations)
+    rollout = make_rollout(env_step, rl_obs, steps)
+
+    spec = jsh.PartitionSpec(pmesh.DATA_AXIS)
+    sharded_rollout = jax.jit(pmesh.shard_map_compat(
+        rollout, mesh, (spec, spec), (spec, spec)))
+    carry0 = pmesh.shard_state(reset_all(), mesh)
+    w0 = jax.device_put(
+        jnp.zeros((num_envs, act_dim, OBS_DIM), jnp.float32),
+        pmesh.batch_sharding(mesh))
+    return sharded_rollout, carry0, w0
+
+
 def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
           steps: int = 40, step_size: float = 0.02, noise: float = 0.05,
           solver: str = "pallas_ric_aug", seed: int = 0,
           plant_mass_scale: float = 1.0,
-          verbose: bool = True, emit=None):
+          verbose: bool = True, emit=None, mesh=None):
     """ARS with antithetic directions, device-resident rollouts.
 
     Same estimator and batch layout as the host trainer
     (`train_rl_mpc.train`): env groups [dir0+, dir0-, dir1+, dir1-, ...] of
     `envs_per` envs each. Returns (W, history of mean returns).
+
+    mesh: optional `jax.sharding.Mesh` — population evaluation sharded
+    over its devices (`make_sharded_training`); None = single device.
     """
     rng = np.random.default_rng(seed)
     num_envs = 2 * n_dirs * envs_per
-    env_step, reset_all, rl_obs, core = make_device_env(
-        num_envs, solver=solver, plant_mass_scale=plant_mass_scale)
-    rollout = make_rollout(env_step, rl_obs, steps)
+    if mesh is not None:
+        from biped_pympc_tpu.parallel import mesh as pmesh
+
+        env_step, reset_all, rl_obs, core = make_device_env(
+            num_envs, solver=solver, plant_mass_scale=plant_mass_scale)
+        rollout_fn = make_rollout(env_step, rl_obs, steps)
+        import jax.sharding as jsh
+        spec = jsh.PartitionSpec(pmesh.DATA_AXIS)
+        rollout = jax.jit(pmesh.shard_map_compat(
+            rollout_fn, mesh, (spec, spec), (spec, spec)))
+        _shard = lambda t: pmesh.shard_state(t, mesh)
+    else:
+        env_step, reset_all, rl_obs, core = make_device_env(
+            num_envs, solver=solver, plant_mass_scale=plant_mass_scale)
+        rollout = make_rollout(env_step, rl_obs, steps)
+        _shard = lambda t: t
 
     w = np.zeros((ACT_DIM, OBS_DIM))
     history = []
@@ -66,10 +125,10 @@ def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
             w_per_env[base + envs_per: base + 2 * envs_per] = \
                 w - noise * deltas[d]
 
-        carry = reset_all()
+        carry = _shard(reset_all())
         t0 = time.perf_counter()
         carry, returns = jax.block_until_ready(
-            rollout(carry, jnp.asarray(w_per_env)))
+            rollout(carry, _shard(jnp.asarray(w_per_env))))
         dt_s = time.perf_counter() - t0
         if it > 0:  # it 0 pays the compile
             t_rollouts.append(dt_s)
@@ -116,6 +175,10 @@ def main():
     p.add_argument("--step-size", type=float, default=0.02)
     p.add_argument("--bench", action="store_true",
                    help="append artifact to results/train_rl_mpc_tpu.jsonl")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard the population evaluation over all local "
+                        "devices (parallel/mesh.py; 1-device mesh on a "
+                        "single chip exercises the same sharded program)")
     args = p.parse_args()
 
     emit = None
@@ -124,11 +187,16 @@ def main():
         from bench_common import make_emitter
         emit = make_emitter("train_rl_mpc_tpu", vars(args))
 
+    mesh = None
+    if args.mesh:
+        from biped_pympc_tpu.parallel import mesh as pmesh
+        mesh = pmesh.make_mesh()
+        print(f"sharding population over {len(jax.devices())} device(s)")
     w, history, stats = train(
         iters=args.iters, n_dirs=args.dirs, envs_per=args.envs_per,
         steps=args.steps, solver=args.solver, emit=emit,
         plant_mass_scale=args.mass_error, noise=args.noise,
-        step_size=args.step_size)
+        step_size=args.step_size, mesh=mesh)
     print(f"\nreturn: first {history[0]:.3f} -> last {history[-1]:.3f} "
           f"(best {max(history):.3f})")
     print(f"policy norm {np.linalg.norm(w):.4f}")

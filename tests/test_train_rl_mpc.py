@@ -128,3 +128,48 @@ def test_device_env_matrix_residual_actions():
     assert carry1.state.residual_B is not None
     assert not np.allclose(np.asarray(carry0.x), np.asarray(carry1.x),
                            atol=1e-4)
+
+
+def test_sharded_training_rollout_matches_single_device():
+    """Round-5 VERDICT item 4: the ARS population evaluation sharded over
+    the 8-virtual-device mesh returns the SAME per-env returns as the
+    single-device rollout (per-env independence => sharding is a pure
+    layout change)."""
+    import jax
+    import jax.numpy as jnp
+    from biped_pympc_tpu.parallel import mesh as pmesh
+
+    assert jax.device_count() >= 8
+    num_envs, steps = 16, 3
+    rng = np.random.default_rng(1)
+    w = (0.02 * rng.standard_normal(
+        (num_envs, rl_env_tpu.ACT_DIM, rl_env_tpu.OBS_DIM))).astype(
+            np.float32)
+
+    env_step, reset_all, rl_obs, _ = rl_env_tpu.make_device_env(
+        num_envs, vx_cmd=0.3, solver="tridiag_aug")
+    rollout = jax.jit(rl_env_tpu.make_rollout(env_step, rl_obs, steps))
+    _, ret_single = rollout(reset_all(), jnp.asarray(w))
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    sh_rollout, carry0, _ = trm_dev.make_sharded_training(
+        mesh, num_envs, steps=steps, solver="tridiag_aug")
+    _, ret_sh = sh_rollout(carry0, jax.device_put(
+        jnp.asarray(w), pmesh.batch_sharding(mesh)))
+
+    np.testing.assert_allclose(
+        np.asarray(ret_sh), np.asarray(ret_single), atol=1e-4)
+
+
+def test_train_with_mesh_runs_ars_iteration():
+    """train(mesh=...) completes ARS iterations through the sharded
+    rollout and updates the policy."""
+    import jax
+    from biped_pympc_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(jax.devices()[:8])
+    w, history, _ = trm_dev.train(
+        iters=2, n_dirs=2, envs_per=4, steps=3, solver="tridiag_aug",
+        verbose=False, mesh=mesh)
+    assert len(history) == 2 and np.isfinite(history).all()
+    assert np.linalg.norm(w) > 0  # the update moved the policy
