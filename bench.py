@@ -35,6 +35,14 @@ import numpy as np
 
 
 def main():
+    if "--help" in sys.argv or "-h" in sys.argv:
+        # Before any jax import/backend init: --help must not touch the TPU.
+        print("usage: python bench.py [BATCH=4096] [CHAIN_LEN=20] [--mesh]\n\n"
+              "Prints one JSON line with qp_solves_per_sec_chip on the "
+              "default device.\n--mesh shards the batch over all local "
+              "devices (parallel/mesh.py).")
+        return
+
     import jax
     import jax.numpy as jnp
 
