@@ -54,7 +54,8 @@ class EnvCarry(NamedTuple):
 def make_device_env(num_envs: int, vx_cmd: float = 0.3,
                     solver: str = "pallas_ric_aug", height: float = 0.55,
                     plant_mass_scale: float = 1.0,
-                    matrix_residual: bool = False):
+                    matrix_residual: bool = False,
+                    plant_force_scale=None):
     """Build (env_step, reset_all, rl_obs, core) for a device-resident env.
 
     env_step(carry, action) -> (carry, reward (B,), done (B,) bool)
@@ -79,6 +80,15 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
     effectiveness parameterization (`set_srbd_residual` made real in
     round 4). The residual state leaves exist from reset, so the program
     structure is fixed — no recompile mid-training.
+
+    plant_force_scale: optional (3,) per-axis GRF effectiveness of the
+    PLANT (e.g. (1, 1, 0.75): only 75% of commanded vertical force is
+    delivered — weakened actuators / miscalibrated force mapping). The
+    MPC keeps the nominal model, so the error is PROPORTIONAL TO THE
+    COMMANDED FORCE — a structured, input-dependent model error that the
+    constant acceleration residuals cannot represent but the B-matrix
+    force-effectiveness residual dims parameterize exactly (round-5
+    VERDICT item 5's training task).
     """
     import dataclasses
 
@@ -132,6 +142,10 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
             return obs, rot
         return jax.vmap(one)(x, foot_w)
 
+    fscale = None
+    if plant_force_scale is not None:
+        fscale = jnp.asarray(plant_force_scale, jnp.float32).reshape(1, 1, 3)
+
     def plant_tick(x, foot_w, rot, grf, contact, p_des_b):
         """Foot pinning + contact-gated GRFs + closed-form RK4
         (`srbd_plant.SrbdPlant.step`; the affine closed form equals the
@@ -142,6 +156,10 @@ def make_device_env(num_envs: int, vx_cmd: float = 0.3,
         gate = jnp.concatenate(
             [contact[:, 0:1], contact[:, 1:2]] * 2, axis=1)
         u = grf.reshape(-1, 4, 3) * gate[:, :, None]
+        if fscale is not None:
+            # Per-axis force-effectiveness model error: the plant delivers
+            # scaled FORCES (blocks 0-1 of [F_L, F_R, M_L, M_R]).
+            u = u.at[:, :2].multiply(fscale)
         return rk4_step(x, u, foot_w, rot), foot_w
 
     def env_step(carry: EnvCarry, action: jnp.ndarray):

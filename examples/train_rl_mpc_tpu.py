@@ -81,7 +81,8 @@ def make_sharded_training(mesh, num_envs: int, steps: int = 40,
 def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
           steps: int = 40, step_size: float = 0.02, noise: float = 0.05,
           solver: str = "pallas_ric_aug", seed: int = 0,
-          plant_mass_scale: float = 1.0,
+          plant_mass_scale: float = 1.0, matrix_residual: bool = False,
+          plant_force_scale=None,
           verbose: bool = True, emit=None, mesh=None):
     """ARS with antithetic directions, device-resident rollouts.
 
@@ -91,34 +92,39 @@ def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
 
     mesh: optional `jax.sharding.Mesh` — population evaluation sharded
     over its devices (`make_sharded_training`); None = single device.
+    matrix_residual: grow the action space to 16 dims (B-matrix
+    force/moment-effectiveness residuals, `rl_env_tpu.make_device_env`).
+    plant_force_scale: (3,) per-axis plant GRF effectiveness — the
+    structured input-dependent model error the matrix residuals exist for.
     """
     rng = np.random.default_rng(seed)
     num_envs = 2 * n_dirs * envs_per
+    act_dim = 16 if matrix_residual else ACT_DIM
+    env_kw = dict(solver=solver, plant_mass_scale=plant_mass_scale,
+                  matrix_residual=matrix_residual,
+                  plant_force_scale=plant_force_scale)
+    env_step, reset_all, rl_obs, core = make_device_env(num_envs, **env_kw)
+    rollout_fn = make_rollout(env_step, rl_obs, steps)
     if mesh is not None:
         from biped_pympc_tpu.parallel import mesh as pmesh
 
-        env_step, reset_all, rl_obs, core = make_device_env(
-            num_envs, solver=solver, plant_mass_scale=plant_mass_scale)
-        rollout_fn = make_rollout(env_step, rl_obs, steps)
         import jax.sharding as jsh
         spec = jsh.PartitionSpec(pmesh.DATA_AXIS)
         rollout = jax.jit(pmesh.shard_map_compat(
             rollout_fn, mesh, (spec, spec), (spec, spec)))
         _shard = lambda t: pmesh.shard_state(t, mesh)
     else:
-        env_step, reset_all, rl_obs, core = make_device_env(
-            num_envs, solver=solver, plant_mass_scale=plant_mass_scale)
-        rollout = make_rollout(env_step, rl_obs, steps)
+        rollout = rollout_fn
         _shard = lambda t: t
 
-    w = np.zeros((ACT_DIM, OBS_DIM))
+    w = np.zeros((act_dim, OBS_DIM))
     history = []
     env_steps_per_rollout = num_envs * steps * core.mpc_cfg.decimation
     t_rollouts = []
 
     for it in range(iters):
-        deltas = rng.standard_normal((n_dirs, ACT_DIM, OBS_DIM))
-        w_per_env = np.empty((num_envs, ACT_DIM, OBS_DIM), np.float32)
+        deltas = rng.standard_normal((n_dirs, act_dim, OBS_DIM))
+        w_per_env = np.empty((num_envs, act_dim, OBS_DIM), np.float32)
         for d in range(n_dirs):
             base = 2 * d * envs_per
             w_per_env[base: base + envs_per] = w + noise * deltas[d]
@@ -171,6 +177,14 @@ def main():
                    help="plant mass scale (model-error compensation task: "
                         "the policy must learn SRBD residuals that close "
                         "the MPC-vs-plant gap)")
+    p.add_argument("--matrix-residual", action="store_true",
+                   help="16-dim action space incl. B-matrix force/moment-"
+                        "effectiveness residuals (set_srbd_residual)")
+    p.add_argument("--force-error", type=float, default=1.0,
+                   help="plant z-axis GRF effectiveness (e.g. 0.7: only "
+                        "70%% of commanded vertical force is delivered — "
+                        "an input-proportional model error the constant "
+                        "accel residuals cannot represent)")
     p.add_argument("--noise", type=float, default=0.05)
     p.add_argument("--step-size", type=float, default=0.02)
     p.add_argument("--bench", action="store_true",
@@ -192,11 +206,16 @@ def main():
         from biped_pympc_tpu.parallel import mesh as pmesh
         mesh = pmesh.make_mesh()
         print(f"sharding population over {len(jax.devices())} device(s)")
+    force_scale = None
+    if args.force_error != 1.0:
+        force_scale = (1.0, 1.0, args.force_error)
     w, history, stats = train(
         iters=args.iters, n_dirs=args.dirs, envs_per=args.envs_per,
         steps=args.steps, solver=args.solver, emit=emit,
         plant_mass_scale=args.mass_error, noise=args.noise,
-        step_size=args.step_size, mesh=mesh)
+        step_size=args.step_size, mesh=mesh,
+        matrix_residual=args.matrix_residual,
+        plant_force_scale=force_scale)
     print(f"\nreturn: first {history[0]:.3f} -> last {history[-1]:.3f} "
           f"(best {max(history):.3f})")
     print(f"policy norm {np.linalg.norm(w):.4f}")

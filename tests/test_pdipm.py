@@ -342,3 +342,62 @@ def test_unknown_backend_rejected():
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), qp, qp)
     with pytest.raises(ValueError, match="unknown Pallas pdipm backend"):
         pp.solve(batch, pdipm.PdipmOptions(backend="bcr"), tile=2)
+
+
+def test_df_residual_accuracy():
+    """ops/df.py compensated residual: on a cancellation-dominated
+    refinement residual (r ~ K d + tiny), the double-float residual must
+    track the f64 ground truth orders of magnitude tighter than the plain
+    f32 residual. Inputs are passed as JIT ARGUMENTS — closing over them
+    as constants lets XLA's constant folder algebraically simplify the
+    error-free transformations away (measured: rel err 8e-3 constant-
+    folded vs 4e-8 traced; see ops/df.py docstring)."""
+    from biped_pympc_tpu.ops import df as dfm
+
+    qp64 = _make_qp(dtype=jnp.float64)
+    qp32 = jax.tree.map(lambda a: a.astype(jnp.float32), qp64)
+    T_ = qp32.horizon
+    rng = np.random.default_rng(3)
+    beta = delta = 1e-8
+    # Realistic late-iteration scales: wide-spread W diagonal, O(30)
+    # direction entries.
+    w32 = jnp.asarray(10.0 ** rng.uniform(-6, 6, 16 * T_), jnp.float32)
+    dx32 = jnp.asarray(rng.standard_normal(24 * T_) * 30, jnp.float32)
+    dz32 = jnp.asarray(rng.standard_normal(16 * T_) * 30, jnp.float32)
+    dy32 = jnp.asarray(rng.standard_normal(14 * T_) * 30, jnp.float32)
+    f64a = lambda a: np.asarray(a, np.float64)
+
+    def matvec(qp, hd, w_diag, dx, dz, dy):
+        m1 = (hd + beta) * dx + qps.gT_matvec(qp, dz) + qps.aT_matvec(qp, dy)
+        mz = qps.g_matvec(qp, dx) - w_diag * dz
+        m4 = qps.a_matvec(qp, dx) - delta * dy
+        return m1, mz, m4
+
+    # f64 ground truth over the f32-stored system data.
+    qp64d = jax.tree.map(lambda a: jnp.asarray(f64a(a), jnp.float64), qp32)
+    m64 = matvec(
+        qp64d, jnp.asarray(f64a(qps.h_diag(qp32))), jnp.asarray(f64a(w32)),
+        jnp.asarray(f64a(dx32)), jnp.asarray(f64a(dz32)),
+        jnp.asarray(f64a(dy32)))
+    # rhs = K d + small true residual (the cancellation scenario).
+    r32 = [jnp.asarray(np.asarray(m) + rng.standard_normal(m.shape[0]) * 1e-4,
+                       jnp.float32) for m in m64]
+    e_true = [f64a(r) - np.asarray(m) for r, m in zip(r32, m64)]
+
+    hd32 = qps.h_diag(qp32)
+    m32 = jax.jit(matvec)(qp32, hd32, w32, dx32, dz32, dy32)
+    e_f32 = [np.asarray(r - m) for r, m in zip(r32, m32)]
+
+    jf = jax.jit(lambda qp, hd, w, dx, dz, dy, r1, rz, r4:
+                 dfm.residual_aug(qp, hd, w, beta, delta, dx, dz, dy,
+                                  r1, rz, r4))
+    e_df = [np.asarray(e) for e in jf(qp32, hd32, w32, dx32, dz32, dy32, *r32)]
+
+    for name, ef32, edf, et in zip(("e1", "ez", "e4"), e_f32, e_df, e_true):
+        scale = np.abs(et).max() + 1e-30
+        err_f32 = np.abs(ef32 - et).max() / scale
+        err_df = np.abs(edf - et).max() / scale
+        # f32 residual loses most digits to cancellation; df is
+        # ~f32-eps-accurate relative to the residual scale.
+        assert err_df < 1e-6, (name, err_df)
+        assert err_df < err_f32 / 100, (name, err_f32, err_df)

@@ -409,3 +409,26 @@ def test_hybrid_stats_through_controller_and_wrapper(interpret_pallas):
     ctrl2.update_state(obs[:2])
     ctrl2.run_mpc()
     assert ctrl2.hybrid_stats == {}
+
+
+def test_pallas_df_refine_residual(interpret_pallas):
+    """refine_residual="df" in the fused aug kernels: at f64 the
+    compensated residual is a no-op (plain == df to roundoff); at f32 the
+    df path stays finite and matches the f64 anchor at least as well as
+    the plain-f32 residual on the stress problems."""
+    qs64 = [_make_qp(seed=s, dtype=jnp.float64, vx=0.1 * s) for s in range(4)]
+    b64 = jax.tree.map(lambda *xs: jnp.stack(xs), *qs64)
+    opts = pdipm.PdipmOptions(backend="ric_aug", refine_steps=1, iterations=6)
+    plain64 = pp.solve(b64, opts, tile=4)
+    df64 = pp.solve(b64, opts._replace(refine_residual="df"), tile=4)
+    np.testing.assert_allclose(
+        np.asarray(df64.x), np.asarray(plain64.x), rtol=1e-9, atol=1e-9)
+
+    b32 = jax.tree.map(lambda a: a.astype(jnp.float32), b64)
+    plain32 = pp.solve(b32, opts, tile=4)
+    df32 = pp.solve(b32, opts._replace(refine_residual="df"), tile=4)
+    assert np.isfinite(np.asarray(df32.x)).all()
+    anchor = np.asarray(plain64.x)
+    e_plain = np.abs(np.asarray(plain32.x) - anchor).max()
+    e_df = np.abs(np.asarray(df32.x) - anchor).max()
+    assert e_df <= 2.0 * e_plain, (e_plain, e_df)

@@ -173,3 +173,42 @@ def test_train_with_mesh_runs_ars_iteration():
         verbose=False, mesh=mesh)
     assert len(history) == 2 and np.isfinite(history).all()
     assert np.linalg.norm(w) > 0  # the update moved the policy
+
+
+def test_force_effectiveness_error_and_matrix_compensation():
+    """Round-5 VERDICT item 5 mechanism check: plant_force_scale=(1,1,0.7)
+    injects an input-proportional model error (30% of commanded vertical
+    force not delivered). The B-matrix force-effectiveness action dim can
+    represent it EXACTLY (fd = -0.3/m on the v_dot rows models a 0.7-
+    effective plant), so the compensating fixed action must recover most
+    of the injected return loss — while the same constant accel-residual
+    budget cannot (the required correction is proportional to the
+    commanded force, which varies over the gait)."""
+    import jax.numpy as jnp
+
+    num_envs, steps = 4, 6
+
+    def ret_with(action_fill, matrix, force_scale):
+        env_step, reset_all, rl_obs, _ = rl_env_tpu.make_device_env(
+            num_envs, vx_cmd=0.3, solver="tridiag_aug",
+            matrix_residual=matrix, plant_force_scale=force_scale)
+        carry = reset_all()
+        total = np.zeros(num_envs, np.float64)
+        act_dim = 16 if matrix else 10
+        action = jnp.zeros((num_envs, act_dim), jnp.float32)
+        for i, v in action_fill.items():
+            action = action.at[:, i].set(v)
+        for _ in range(steps):
+            carry, reward, _ = env_step(carry, action)
+            total += np.asarray(reward, np.float64)
+        return float(total.mean())
+
+    scale = (1.0, 1.0, 0.7)
+    r_nominal = ret_with({}, True, None)          # healthy plant
+    r_broken = ret_with({}, True, scale)          # error, no compensation
+    # dim 12 = z force-effectiveness; -1 models exactly the 0.7 plant.
+    r_fixed = ret_with({12: -1.0}, True, scale)
+
+    assert r_broken < r_nominal - 0.5, (r_nominal, r_broken)
+    recovered = (r_fixed - r_broken) / (r_nominal - r_broken)
+    assert recovered > 0.6, (r_nominal, r_broken, r_fixed, recovered)
