@@ -175,40 +175,45 @@ def test_train_with_mesh_runs_ars_iteration():
     assert np.linalg.norm(w) > 0  # the update moved the policy
 
 
-def test_force_effectiveness_error_and_matrix_compensation():
-    """Round-5 VERDICT item 5 mechanism check: plant_force_scale=(1,1,0.7)
-    injects an input-proportional model error (30% of commanded vertical
-    force not delivered). The B-matrix force-effectiveness action dim can
-    represent it EXACTLY (fd = -0.3/m on the v_dot rows models a 0.7-
-    effective plant), so the compensating fixed action must recover most
-    of the injected return loss — while the same constant accel-residual
-    budget cannot (the required correction is proportional to the
-    commanded force, which varies over the gait)."""
+def test_matrix_residual_represents_mass_error_exactly():
+    """Round-5 VERDICT item 5 mechanism check: a 30% plant mass error is
+    EXACTLY representable by the B-matrix force-effectiveness action dims
+    (true v_dot response F/(1.3 m) == modeled (1 + 0.3 a)/m F at
+    a = (1/1.3 - 1)/0.3), while a constant accel residual can only match
+    it on average (the error is proportional to the commanded force,
+    which swings ~2x between single and double support). Measured on the
+    deterministic 25-step loop: the exact matrix action recovers the full
+    injected loss; the best-average accel action recovers about half."""
+    import jax
     import jax.numpy as jnp
 
-    num_envs, steps = 4, 6
+    num_envs, steps = 4, 25
 
-    def ret_with(action_fill, matrix, force_scale):
-        env_step, reset_all, rl_obs, _ = rl_env_tpu.make_device_env(
+    def ret_with(action_fill, mass_scale):
+        env_step, reset_all, _, _ = rl_env_tpu.make_device_env(
             num_envs, vx_cmd=0.3, solver="tridiag_aug",
-            matrix_residual=matrix, plant_force_scale=force_scale)
+            matrix_residual=True, plant_mass_scale=mass_scale)
         carry = reset_all()
         total = np.zeros(num_envs, np.float64)
-        act_dim = 16 if matrix else 10
-        action = jnp.zeros((num_envs, act_dim), jnp.float32)
+        action = jnp.zeros((num_envs, 16), jnp.float32)
         for i, v in action_fill.items():
             action = action.at[:, i].set(v)
+        step = jax.jit(env_step)
         for _ in range(steps):
-            carry, reward, _ = env_step(carry, action)
+            carry, reward, _ = step(carry, action)
             total += np.asarray(reward, np.float64)
         return float(total.mean())
 
-    scale = (1.0, 1.0, 0.7)
-    r_nominal = ret_with({}, True, None)          # healthy plant
-    r_broken = ret_with({}, True, scale)          # error, no compensation
-    # dim 12 = z force-effectiveness; -1 models exactly the 0.7 plant.
-    r_fixed = ret_with({12: -1.0}, True, scale)
+    r_nom = ret_with({}, 1.0)
+    r_brk = ret_with({}, 1.3)
+    a = (1.0 / 1.3 - 1.0) / 0.3  # exact effectiveness correction, in range
+    r_fix = ret_with({10: a, 11: a, 12: a}, 1.3)
+    # Best-average constant accel: z shortfall ~ -(0.3/1.3) g in stance.
+    r_acc = ret_with({6: -2.26}, 1.3)
 
-    assert r_broken < r_nominal - 0.5, (r_nominal, r_broken)
-    recovered = (r_fixed - r_broken) / (r_nominal - r_broken)
-    assert recovered > 0.6, (r_nominal, r_broken, r_fixed, recovered)
+    loss = r_nom - r_brk
+    assert loss > 0.15, (r_nom, r_brk)
+    gain_fix = r_fix - r_brk
+    gain_acc = r_acc - r_brk
+    assert gain_fix > 0.9 * loss, (loss, gain_fix)
+    assert gain_fix > 2.0 * gain_acc, (gain_fix, gain_acc)

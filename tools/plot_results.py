@@ -228,32 +228,34 @@ def plot_horizon(rows, out):
 def plot_training(rows, out):
     """Round-4 on-device ARS training: learning curve per batch size with
     the measured env-steps/s in the labels (train_rl_mpc_tpu.jsonl)."""
-    runs = []  # (num_envs, mass_error, [(iter, ret)], env_steps_per_s)
-    cur, cur_mass = [], 1.0
+    runs = []  # (num_envs, mass_error, matrix?, [(iter, ret)], rate)
+    cur, cur_mass, cur_mat = [], 1.0, False
     for r in rows:
         if "iter" in r and "mean_return" in r:
             cur.append((r["iter"], r["mean_return"]))
         elif "summary" in r:
             sm = r["summary"]
-            runs.append((sm["num_envs"], cur_mass, cur,
+            runs.append((sm["num_envs"], cur_mass, cur_mat, cur,
                          sm.get("env_steps_per_s")))
-            # Reset both accumulators at the run boundary so iter rows
-            # whose header was trimmed away don't inherit this run's
-            # mass-error label.
-            cur, cur_mass = [], 1.0
+            # Reset accumulators at the run boundary so iter rows whose
+            # header was trimmed away don't inherit this run's labels.
+            cur, cur_mass, cur_mat = [], 1.0, False
         elif "run" in r:
             cur = []
             cur_mass = r.get("params", {}).get("mass_error", 1.0)
+            cur_mat = bool(r.get("params", {}).get("matrix_residual"))
     if not runs:
         return False
     fig, ax = plt.subplots(figsize=(6, 4), dpi=150)
-    for i, (envs, mass, pts, rate) in enumerate(runs):
+    for i, (envs, mass, matrix, pts, rate) in enumerate(runs):
         if not pts:
             continue
         xs, ys = zip(*sorted(pts))
         label = f"{envs} envs"
         if mass and mass != 1.0:
             label += f", plant mass x{mass}"
+        if matrix:
+            label += ", matrix residuals"
         if rate:
             label += f" ({rate / 1e3:.0f}k env-steps/s)"
         ax.plot(xs, ys, "-o", color=SERIES[i % len(SERIES)], linewidth=2,
