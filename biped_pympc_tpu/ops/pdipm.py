@@ -90,7 +90,11 @@ class PdipmOptions(NamedTuple):
     # (each chunk counts its own first steps), so combine the two only
     # deliberately.
     refine_residual: str = "f32"  # "f32" | "df": precision of the
-    # iterative-refinement RESIDUAL r - K d (aug backends, pure-JAX path).
+    # iterative-refinement RESIDUAL r - K d. AUG backends only ("tridiag_
+    # aug"/"ric_aug", pure-JAX and Pallas kernels); the condensed backends
+    # reject "df" (their refinement residual runs through the G^T W^-1 G
+    # condensation, where W^-1 products would need a compensated chain —
+    # and the condensed class is quarantined for accuracy work anyway).
     # "df" computes every residual component as one compensated
     # (double-float) linear combination (`ops/df.py`) — the standard
     # mixed-precision refinement practice the round-4 VERDICT asked to
@@ -1178,6 +1182,13 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
     vmap over a batch of StageQP pytrees for the batched solver. The loop is a
     `lax.fori_loop` — compiled once, no per-iteration dispatch.
     """
+    if (opts.refine_residual == "df"
+            and opts.backend not in ("tridiag_aug", "ric_aug",
+                                     "ric_aug_core")):
+        raise ValueError(
+            "refine_residual='df' is implemented for the aug backends only "
+            f"(got backend={opts.backend!r}); see PdipmOptions.refine_residual"
+        )
     if state is None:
         state = init_state(qp)
 

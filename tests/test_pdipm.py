@@ -401,3 +401,19 @@ def test_df_residual_accuracy():
         # ~f32-eps-accurate relative to the residual scale.
         assert err_df < 1e-6, (name, err_df)
         assert err_df < err_f32 / 100, (name, err_f32, err_df)
+
+
+def test_df_residual_rejected_on_condensed_backends():
+    """refine_residual='df' is aug-only; the condensed backends must
+    reject it loudly instead of silently running the f32 residual."""
+    from biped_pympc_tpu.ops import pdipm_pallas as pp
+
+    qp = _make_qp(dtype=jnp.float32)
+    for backend in ("ric", "tridiag", "dense"):
+        with pytest.raises(ValueError, match="aug"):
+            pdipm.solve(qp, pdipm.PdipmOptions(
+                backend=backend, refine_steps=1, refine_residual="df"))
+    batch = jax.tree.map(lambda a: a[None], qp)
+    with pytest.raises(ValueError, match="aug"):
+        pp.solve(batch, pdipm.PdipmOptions(
+            backend="ric", refine_steps=1, refine_residual="df"), tile=1)
