@@ -44,6 +44,9 @@ if "--robot" in _sys.argv:  # round-4: T1 parity with HECTOR's 30 s evidence
 obs_ik = "robot"
 if "--obs-ik" in _sys.argv:
     obs_ik = _sys.argv[_sys.argv.index("--obs-ik") + 1]
+iters = 20
+if "--iters" in _sys.argv:  # round 5: reduced-iteration closed-loop study
+    iters = int(_sys.argv[_sys.argv.index("--iters") + 1])
 height = 0.55 if robot == "HECTOR" else 0.62
 f_max = 500.0 if robot == "HECTOR" else 1450.0
 # Round 5: T1 runs its tuned configuration (real foot levers via
@@ -56,12 +59,13 @@ else:
     cconf = ControllerConf()
 core = BipedControllerCore(cconf,
                            MPCConf(solver=solver, contact_frame=frame,
-                                   robot=robot, f_max=f_max),
+                                   robot=robot, f_max=f_max,
+                                   newton_iterations=iters),
                            gait_id=2)
 from bench_common import make_emitter
 emit = make_emitter("ab_stability" if robot == "HECTOR" else "t1_tpu_rollout",
                     {"frame": frame, "solver": solver, "robot": robot,
-                     "obs_ik": obs_ik})
+                     "obs_ik": obs_ik, "iters": iters})
 rollout, cycles = make_rollout(core, 1.0, obs_ik=obs_ik)
 rollout = jax.jit(rollout)
 carry = init_carry(core, batch, 0.3, height)
