@@ -33,6 +33,9 @@ def main():
                    help="round-2 default: robust augmented foot-split "
                         "kernel; 'pallas_ric' is the speed mode")
     p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--iters", type=int, default=20,
+                   help="Newton iterations (round 5: 10 is the measured "
+                        "closed-loop-viable HECTOR speed point)")
     args = p.parse_args()
 
     import jax
@@ -54,7 +57,8 @@ def main():
 
     for batch in [int(b) for b in args.batches.split(",")]:
         core = BipedControllerCore(
-            cfg, MPCConf(solver=args.solver, verbose=False), gait_id=2
+            cfg, MPCConf(solver=args.solver, verbose=False,
+                         newton_iterations=args.iters), gait_id=2
         )
         rollout, cycles = make_rollout(core, args.seconds)
         carry = init_carry(core, batch, 0.3, 0.55)
