@@ -82,7 +82,7 @@ def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
           steps: int = 40, step_size: float = 0.02, noise: float = 0.05,
           solver: str = "pallas_ric_aug", seed: int = 0,
           plant_mass_scale: float = 1.0, matrix_residual: bool = False,
-          plant_force_scale=None,
+          plant_force_scale=None, newton_iterations: int = 20,
           verbose: bool = True, emit=None, mesh=None):
     """ARS with antithetic directions, device-resident rollouts.
 
@@ -104,6 +104,11 @@ def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
                   matrix_residual=matrix_residual,
                   plant_force_scale=plant_force_scale)
     env_step, reset_all, rl_obs, core = make_device_env(num_envs, **env_kw)
+    if newton_iterations != 20:
+        # Round 5: 10 is the measured closed-loop-viable HECTOR point
+        # (BENCH.md "how many Newton iterations"); mutate before first
+        # trace so every jitted step compiles with the reduced count.
+        core.opts = core.opts._replace(iterations=newton_iterations)
     rollout_fn = make_rollout(env_step, rl_obs, steps)
     if mesh is not None:
         from biped_pympc_tpu.parallel import mesh as pmesh
@@ -185,6 +190,9 @@ def main():
                         "70%% of commanded vertical force is delivered — "
                         "an input-proportional model error the constant "
                         "accel residuals cannot represent)")
+    p.add_argument("--newton-iters", type=int, default=20,
+                   help="PDIPM iterations (10 = measured viable HECTOR "
+                        "speed point, BENCH.md round 5)")
     p.add_argument("--noise", type=float, default=0.05)
     p.add_argument("--step-size", type=float, default=0.02)
     p.add_argument("--bench", action="store_true",
@@ -215,7 +223,8 @@ def main():
         plant_mass_scale=args.mass_error, noise=args.noise,
         step_size=args.step_size, mesh=mesh,
         matrix_residual=args.matrix_residual,
-        plant_force_scale=force_scale)
+        plant_force_scale=force_scale,
+        newton_iterations=args.newton_iters)
     print(f"\nreturn: first {history[0]:.3f} -> last {history[-1]:.3f} "
           f"(best {max(history):.3f})")
     print(f"policy norm {np.linalg.norm(w):.4f}")
