@@ -633,3 +633,201 @@ def test_lockstep_rollout_parity(ref):
         _n(state.gait_phase), _n(bc.gait_generator.gait_phase), atol=2e-5)
     assert bool(state.mpc_mem.first_run[0]) and bool(state.mpc_mem.first_run[2])
     assert not bool(state.mpc_mem.first_run[1])
+
+
+# ---------------------------------------------------------------------------
+# Wrapper-level lockstep: the public MPCController facade + its properties
+# (`mpc_wrapper.py:4-205`)
+# ---------------------------------------------------------------------------
+
+def test_wrapper_lockstep_parity(ref):
+    """300-tick lockstep at the PUBLIC API level: the reference
+    `MPCController` wrapper vs ours, identical mock solver on both sides,
+    comparing every readable property each MPC cycle — including the DRL
+    knobs (`update_mpc_sampling_time`, `set_swing_parameters`) flipped
+    mid-run. The right-leg-Jacobian-derived quantities compare left-leg
+    only (documented reference bug); `velocity_trajectory` is asserted to
+    RAISE on the reference (reads a nonexistent attribute,
+    `mpc_wrapper.py:159-161`) while ours returns the velocity rows."""
+    import jax
+    import jax.numpy as jnp
+    from biped_pympc_tpu import ControllerConf as OurCC, MPCConf as OurMC
+    from biped_pympc_tpu import MPCController as OurWrapper
+    from biped_pympc_tpu.control import mpc as our_mpc
+    from biped_pympc_tpu.ops import qp as qps
+
+    B, ticks, dof, horizon, decim = 6, 300, 5, 10, 10
+    dt = 0.001
+    rng = np.random.default_rng(11)
+    W = (0.3 * rng.standard_normal((12, 12))).astype(np.float32)
+    Wt = torch.tensor(W)
+
+    mock_mod = types.ModuleType("biped_pympc.convex_mpc.mpc_controller_cusadi")
+
+    class MPCControllerCusadi(ref.base.BaseMPCController):
+        def init_solver(self):
+            pass
+
+        def run(self):
+            self.compute_knot_points()
+            self.compute_horizon_state()
+            self.set_initial_state()
+            self.compute_reference_trajectory()
+            err = self.x0 - self.x_ref[:, 0, :]
+            u = err @ Wt.T
+            lf, rf = u[:, :3], u[:, 3:6]
+            lm, rm = u[:, 6:9].clone(), u[:, 9:12].clone()
+            lm[:, 0] = 0.0
+            rm[:, 0] = 0.0
+            R = self.state_estimate_data.rotation_body
+            tb = lambda v: (R.transpose(1, 2) @ v.unsqueeze(-1)).squeeze(-1)
+            foot_wrench = torch.cat(
+                [-tb(lf), -tb(lm), -tb(rf), -tb(rm)], dim=1)
+            return foot_wrench, torch.zeros(self.num_envs)
+
+    mock_mod.MPCControllerCusadi = MPCControllerCusadi
+    sys.modules["biped_pympc.convex_mpc.mpc_controller_cusadi"] = mock_mod
+    try:
+        ref_ctrl = importlib.import_module("biped_pympc.mpc_wrapper").MPCController(
+            ref.cfg.ControllerConf(), ref.cfg.MPCConf(solver="cusadi"),
+            num_envs=B, device=torch.device("cpu"), gait_id=2)
+    finally:
+        del sys.modules["biped_pympc.convex_mpc.mpc_controller_cusadi"]
+
+    ours = OurWrapper(OurCC(), OurMC(solver="ric_aug", verbose=False),
+                      num_envs=B, gait_id=2)
+    core = ours.core
+    Wj = jnp.asarray(W)
+
+    def our_mock_run_mpc(state):
+        new_mem, x_ref = jax.vmap(
+            lambda mem, est, des, dtm: our_mpc.reference_trajectory(
+                mem, est, des, dtm, horizon, decim * dt)
+        )(state.mpc_mem, state.est, state.des, state.dt_mpc)
+        est = state.est
+        x0 = jnp.concatenate(
+            [est.root_euler, est.root_position,
+             est.root_angular_velocity_w, est.root_velocity_w], axis=1)
+        u = (x0 - x_ref[:, 0, :]) @ Wj.T
+        grf = u.reshape(B, 4, 3)
+        grm = grf[:, 2:].at[:, :, 0].set(0.0)
+        rot = est.rotation_body
+        f_b = jnp.einsum("bji,bkj->bki", rot, grf[:, :2])
+        m_b = jnp.einsum("bji,bkj->bki", rot, grm)
+        wrench = jnp.concatenate([-f_b, -m_b], axis=2)
+        cmd = state.leg_cmd._replace(wrench_ff=wrench)
+        zeros_b = jnp.zeros((B,), jnp.float32)
+        out = our_mpc.MpcOutput(
+            wrench=wrench, cost=zeros_b, x_ref=x_ref, grf_world=u,
+            solution=jnp.zeros((B, 24 * horizon), jnp.float32),
+            residuals=jnp.zeros((B, 4), jnp.float32))
+        state = state._replace(mpc_mem=new_mem, leg_cmd=cmd,
+                               x_ref=x_ref, mpc_cost=zeros_b)
+        return state, out
+
+    core.run_mpc = our_mock_run_mpc  # mock spliced at the same boundary
+
+    twist = np.zeros((B, 3), np.float32)
+    twist[:, 0] = np.linspace(-0.15, 0.4, B)
+    twist[:, 2] = np.linspace(-0.2, 0.2, B)
+    height = np.full(B, 0.55, np.float32)
+    phases = np.linspace(0, 2 * np.pi, B, endpoint=False)
+
+    def obs_at(k):
+        t = k * dt
+        pos = np.stack([0.1 * np.sin(0.5 * t + phases),
+                        0.05 * np.sin(0.3 * t + phases),
+                        0.55 + 0.02 * np.sin(t + phases)], axis=1)
+        rpy = np.stack([0.04 * np.sin(0.7 * t + phases),
+                        0.05 * np.cos(0.9 * t + phases),
+                        0.3 * np.sin(0.2 * t + phases)], axis=1)
+        cr, sr = np.cos(rpy[:, 0] / 2), np.sin(rpy[:, 0] / 2)
+        cp, sp = np.cos(rpy[:, 1] / 2), np.sin(rpy[:, 1] / 2)
+        cy, sy = np.cos(rpy[:, 2] / 2), np.sin(rpy[:, 2] / 2)
+        quat = np.stack([
+            cr * cp * cy + sr * sp * sy, sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy, cr * cp * sy - sr * sp * cy], axis=1)
+        v_b = np.stack([0.2 * np.sin(t + phases), 0.1 * np.cos(t + phases),
+                        0.05 * np.sin(2 * t + phases)], axis=1)
+        w_b = np.stack([0.2 * np.sin(t + phases), 0.15 * np.cos(t + phases),
+                        0.3 * np.sin(0.5 * t + phases)], axis=1)
+        base_q = np.array([0.0, 0.0, 0.45, -0.9, 0.45], np.float32)
+        qs = base_q[None, None] + 0.2 * np.sin(
+            t + phases[:, None, None] + np.array([[0.0], [np.pi]]))
+        q = qs.reshape(B, 2 * dof)
+        qd = 0.4 * np.cos(t + phases[:, None]) * np.ones((B, 2 * dof))
+        obs = np.concatenate([pos, quat, v_b, w_b, q, qd,
+                              np.zeros((B, 2 * dof))], axis=1)
+        return obs.astype(np.float32)
+
+    ref_ctrl.set_command(_t(twist), _t(height))
+    ours.set_command(twist, height)
+
+    def compare(k):
+        pairs = [
+            ("ground_reaction_wrench", ours.ground_reaction_wrench,
+             ref_ctrl.ground_reaction_wrench, 2e-4, None),
+            ("centroidal_accel", ours.centroidal_accel,
+             ref_ctrl.centroidal_accel, 2e-3, None),
+            ("contact_state", ours.contact_state, ref_ctrl.contact_state,
+             0.0, None),
+            ("contact_phase", ours.contact_phase, ref_ctrl.contact_phase,
+             3e-5, None),
+            ("swing_state", ours.swing_state, ref_ctrl.swing_state,
+             0.0, None),
+            ("swing_phase", ours.swing_phase, ref_ctrl.swing_phase,
+             3e-5, None),
+            ("foot_placement", ours.foot_placement, ref_ctrl.foot_placement,
+             1e-4, None),
+            ("foot_placement_b", ours.foot_placement_b,
+             ref_ctrl.foot_placement_b, 1e-4, None),
+            ("foot_pos_b", ours.foot_pos_b, ref_ctrl.foot_pos_b, 1e-5, None),
+            # Jacobian-derived: left leg only (reference right-J bug).
+            ("foot_vel_b[left]", ours.foot_vel_b[:, 0],
+             ref_ctrl.foot_vel_b[:, 0], 2e-5, None),
+            ("ref_foot_vel_b[left]", ours.ref_foot_vel_b[:, 0],
+             ref_ctrl.ref_foot_vel_b[:, 0], 2e-3, "swing_left"),
+            ("mpc_cost", ours.mpc_cost, ref_ctrl.mpc_cost, 0.0, None),
+            ("position_trajectory", ours.position_trajectory,
+             ref_ctrl.position_trajectory, 2e-4, None),
+            ("swing_foot_trajectory", ours.swing_foot_trajectory,
+             ref_ctrl.swing_foot_trajectory, 2e-4, None),
+        ]
+        sw_left = _n(ours.state.swing_phase)[:, 0] >= 0
+        for name, got, want, atol, gate in pairs:
+            got, want = _n(got), _n(want)
+            if gate == "swing_left":  # stance pDes/vDes is out-of-domain
+                got, want = got[sw_left], want[sw_left]
+            np.testing.assert_allclose(
+                got, want, atol=atol, err_msg=f"{name} @ tick {k}")
+        # get_action: left-leg torque columns.
+        np.testing.assert_allclose(
+            _n(ours.get_action())[:, :dof],
+            _n(ref_ctrl.get_action())[:, :dof], atol=2e-3,
+            err_msg=f"action @ tick {k}")
+        # velocity_trajectory: documented deviation — reference raises.
+        with pytest.raises(AttributeError):
+            ref_ctrl.velocity_trajectory
+        assert _n(ours.velocity_trajectory).shape == (B, horizon, 3)
+
+    for k in range(ticks):
+        obs = obs_at(k)
+        ref_ctrl.update_state(_t(obs))
+        ours.update_state(obs)
+        if k % decim == 0:
+            ref_ctrl.run_mpc()
+            ours.run_mpc()
+        ref_ctrl.run_lowlevel()
+        ours.run_lowlevel()
+        if k == 150:
+            # Flip the DRL knobs mid-run on both sides.
+            dtm = np.full(B, 0.03, np.float32)
+            fh = np.full(B, 0.11, np.float32)
+            c1 = np.full(B, 0.3, np.float32)
+            c2 = np.full(B, 0.7, np.float32)
+            ref_ctrl.update_mpc_sampling_time(_t(dtm))
+            ours.update_mpc_sampling_time(dtm)
+            ref_ctrl.set_swing_parameters(_t(fh), _t(c1), _t(c2))
+            ours.set_swing_parameters(fh, c1, c2)
+        if k % 60 == 17 or k == ticks - 1:
+            compare(k)
