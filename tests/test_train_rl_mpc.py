@@ -217,3 +217,23 @@ def test_matrix_residual_represents_mass_error_exactly():
     gain_acc = r_acc - r_brk
     assert gain_fix > 0.9 * loss, (loss, gain_fix)
     assert gain_fix > 2.0 * gain_acc, (gain_fix, gain_acc)
+
+
+def test_plant_force_scale_injects_input_proportional_error():
+    """plant_force_scale plumbing: the scaled plant integrates different
+    dynamics than the nominal one under the same actions (and only the
+    force response changes — zero commanded force = identical step)."""
+    import jax
+    import jax.numpy as jnp
+
+    num_envs = 2
+    mk = lambda fs: rl_env_tpu.make_device_env(
+        num_envs, vx_cmd=0.3, solver="tridiag_aug", plant_force_scale=fs)
+    env_n, reset_n, _, _ = mk(None)
+    env_s, reset_s, _, _ = mk((1.0, 1.0, 0.7))
+    a = jnp.zeros((num_envs, 10), jnp.float32)
+    (state_n, x_n, _), _, _ = env_n(reset_n(), a)
+    (state_s, x_s, _), _, _ = env_s(reset_s(), a)
+    assert not np.allclose(np.asarray(x_n), np.asarray(x_s), atol=1e-6)
+    # z-velocity responds less on the weakened plant during stance.
+    assert np.asarray(x_s)[:, 11].mean() < np.asarray(x_n)[:, 11].mean()
