@@ -54,14 +54,14 @@ f_max = 500.0 if robot == "HECTOR" else 1450.0
 # swing 0.12) unless --reference-constants asks for the round-4 setup.
 if robot != "HECTOR" and "--reference-constants" not in _sys.argv:
     from biped_pympc_tpu.config import recommended_conf
-    cconf, _ = recommended_conf(robot)
+    cconf, mpc_kw = recommended_conf(robot)  # the documented usage path
+    mpc_kw.update(solver=solver, contact_frame=frame,
+                  newton_iterations=iters)
 else:
     cconf = ControllerConf()
-core = BipedControllerCore(cconf,
-                           MPCConf(solver=solver, contact_frame=frame,
-                                   robot=robot, f_max=f_max,
-                                   newton_iterations=iters),
-                           gait_id=2)
+    mpc_kw = dict(solver=solver, contact_frame=frame, robot=robot,
+                  f_max=f_max, newton_iterations=iters)
+core = BipedControllerCore(cconf, MPCConf(**mpc_kw), gait_id=2)
 from bench_common import make_emitter
 emit = make_emitter("ab_stability" if robot == "HECTOR" else "t1_tpu_rollout",
                     {"frame": frame, "solver": solver, "robot": robot,

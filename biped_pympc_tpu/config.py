@@ -46,8 +46,12 @@ def recommended_conf(robot: str = "HECTOR"):
     randomized protocol from 59% upright / 6 cm height error
     (reference-constants configuration) to 100% upright / 0.8 cm.
 
-    Returns (ControllerConf, dict); apply the dict as MPCConf(**kwargs,
-    robot=robot, ...) extra defaults.
+    Returns (ControllerConf, mpc_kwargs). The dict already contains the
+    robot name — apply it as `MPCConf(**mpc_kwargs)` (optionally with
+    further overrides NOT already in the dict):
+
+        cconf, kw = recommended_conf("T1")
+        ctrl = MPCController(cconf, MPCConf(**kw), num_envs, gait_id=2)
     """
     if robot.startswith("T1"):
         return (

@@ -1182,13 +1182,21 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
     vmap over a batch of StageQP pytrees for the batched solver. The loop is a
     `lax.fori_loop` — compiled once, no per-iteration dispatch.
     """
-    if (opts.refine_residual == "df"
-            and opts.backend not in ("tridiag_aug", "ric_aug",
-                                     "ric_aug_core")):
-        raise ValueError(
-            "refine_residual='df' is implemented for the aug backends only "
-            f"(got backend={opts.backend!r}); see PdipmOptions.refine_residual"
-        )
+    if opts.refine_residual == "df":
+        if opts.backend not in ("tridiag_aug", "ric_aug", "ric_aug_core"):
+            raise ValueError(
+                "refine_residual='df' is implemented for the aug backends "
+                f"only (got backend={opts.backend!r}); see "
+                "PdipmOptions.refine_residual"
+            )
+        if opts.corrector_form == "sum_refine":
+            # sum_refine's refinement runs in its own outer full-KKT loop
+            # with plain f32 residuals — df would be silently ignored.
+            raise ValueError(
+                "refine_residual='df' is not implemented for "
+                "corrector_form='sum_refine' (its refinement loop uses the "
+                "full-KKT residual, not reduced_solve's)"
+            )
     if state is None:
         state = init_state(qp)
 

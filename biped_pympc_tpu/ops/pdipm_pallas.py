@@ -1586,12 +1586,20 @@ def solve(qp: StageQP, opts: PdipmOptions = PdipmOptions(),
             f"of {known} (note: 'bcr' was removed in round 4 — "
             "results/ab_round4.jsonl phase E)"
         )
-    if (opts.refine_residual == "df"
-            and opts.backend not in ("tridiag_aug", "ric_aug")):
-        raise ValueError(
-            "refine_residual='df' is implemented for the aug kernels only "
-            f"(got backend={opts.backend!r}); see PdipmOptions.refine_residual"
-        )
+    if opts.refine_residual == "df":
+        if opts.backend not in ("tridiag_aug", "ric_aug"):
+            raise ValueError(
+                "refine_residual='df' is implemented for the aug kernels "
+                f"only (got backend={opts.backend!r}); see "
+                "PdipmOptions.refine_residual"
+            )
+        if opts.corrector_form == "sum_refine":
+            # Same constraint as the pure-JAX path: sum_refine refines in
+            # its own outer full-KKT loop with plain f32 residuals.
+            raise ValueError(
+                "refine_residual='df' is not implemented for "
+                "corrector_form='sum_refine'"
+            )
     batch = qp.f.shape[0]
     horizon = qp.d.shape[1]
     tile, pad = _tile_and_pad(batch, tile, _interpret(opts))

@@ -100,24 +100,35 @@ def shard_map_step(step_fn, mesh: Mesh, with_metrics: bool = True):
 
     def body(state, *args):
         out = step_fn(state, *args)
-        if with_metrics:
-            # out = (new_state, tau, mpc_out) with mpc_out.cost (local_B,)
-            new_state, tau, mpc_out = out
-            global_mean_cost = jax.lax.pmean(
-                jnp.mean(mpc_out.cost), axis_name=DATA_AXIS
-            )
-            if mpc_out.hybrid_counts is not None:
-                # Hybrid observability counters are per-SHARD (each
-                # device's solve_hybrid sees only its shard); psum them
-                # into global counts and move them out of mpc_out (whose
-                # leaves are batch-sharded, the wrong out_spec for a
-                # replicated (4,) vector).
-                counts = jax.lax.psum(
-                    mpc_out.hybrid_counts, axis_name=DATA_AXIS)
-                mpc_out = mpc_out._replace(hybrid_counts=None)
-                return new_state, tau, mpc_out, (global_mean_cost, counts)
-            return new_state, tau, mpc_out, global_mean_cost
-        return out
+        if not with_metrics:
+            # A per-shard (4,) HybridStats counter leaf has NO valid
+            # batch-sharded out_spec: the P(DATA_AXIS) prefix would stitch
+            # the shards into a (4*n_devices,) array whose first four
+            # entries are silently shard 0's counts (review finding,
+            # round 5). The counters are an opt-in metric — strip them in
+            # the metrics-free path at the HELPER level so every caller
+            # (not just controller_step) is safe.
+            if (isinstance(out, tuple) and len(out) == 3
+                    and getattr(out[2], "hybrid_counts", None) is not None):
+                out = (out[0], out[1],
+                       out[2]._replace(hybrid_counts=None))
+            return out
+        # out = (new_state, tau, mpc_out) with mpc_out.cost (local_B,)
+        new_state, tau, mpc_out = out
+        global_mean_cost = jax.lax.pmean(
+            jnp.mean(mpc_out.cost), axis_name=DATA_AXIS
+        )
+        if mpc_out.hybrid_counts is not None:
+            # Hybrid observability counters are per-SHARD (each device's
+            # solve_hybrid sees only its shard); psum them into global
+            # counts and move them out of mpc_out (whose leaves are
+            # batch-sharded, the wrong out_spec for a replicated (4,)
+            # vector).
+            counts = jax.lax.psum(
+                mpc_out.hybrid_counts, axis_name=DATA_AXIS)
+            mpc_out = mpc_out._replace(hybrid_counts=None)
+            return new_state, tau, mpc_out, (global_mean_cost, counts)
+        return new_state, tau, mpc_out, global_mean_cost
 
     out_specs = (spec, spec, spec, P()) if with_metrics else spec
     return jax.jit(shard_map_compat(body, mesh, spec, out_specs))
@@ -146,15 +157,9 @@ def controller_step(core, mesh: Mesh, with_metrics: bool = False):
     `tests/test_controller.py::test_sharded_pallas_step_matches_single_device`
     and exercised by the driver dryrun (`__graft_entry__.dryrun_multichip`).
     """
-    if core.mpc_cfg.solver == "pallas_hybrid" and not with_metrics:
-        # Without the metrics reduction the (4,) per-shard hybrid counters
-        # have no valid batch-sharded out_spec; they are an opt-in psum'd
-        # metric (with_metrics=True), so strip them here.
-        def fn(st, o, tw, h):
-            new_st, tau, out = core.control_step(st, o, tw, h)
-            return new_st, tau, out._replace(hybrid_counts=None)
-    else:
-        fn = lambda st, o, tw, h: core.control_step(st, o, tw, h)
+    # (The per-shard hybrid counters are stripped by shard_map_step itself
+    # in the metrics-free path — opt-in psum'd metric with with_metrics.)
+    fn = lambda st, o, tw, h: core.control_step(st, o, tw, h)
     if core.mpc_cfg.solver.startswith("pallas"):
         return shard_map_step(fn, mesh, with_metrics=with_metrics)
     if with_metrics:

@@ -31,8 +31,30 @@ import jax
 import jax.numpy as jnp
 
 from rl_env_tpu import (  # noqa: E402  (examples-local module)
-    ACT_DIM, OBS_DIM, make_device_env, make_rollout,
+    ACT_DIM, ACT_DIM_MATRIX, OBS_DIM, make_device_env, make_rollout,
 )
+
+
+def _shard_rollout(mesh, rollout_fn):
+    """Jit a population rollout under shard_map (env axis over the mesh).
+
+    Single definition shared by `make_sharded_training` and
+    `train(mesh=...)` so the sharding wiring cannot diverge.
+    """
+    import jax.sharding as jsh
+
+    from biped_pympc_tpu.parallel import mesh as pmesh
+
+    spec = jsh.PartitionSpec(pmesh.DATA_AXIS)
+    return jax.jit(pmesh.shard_map_compat(
+        rollout_fn, mesh, (spec, spec), (spec, spec)))
+
+
+def _apply_newton_iterations(core, n):
+    """Mutate the solver iteration count BEFORE the first trace (20 = the
+    reference default = no-op)."""
+    if n and n != 20:
+        core.opts = core.opts._replace(iterations=n)
 
 
 def make_sharded_training(mesh, num_envs: int, steps: int = 40,
@@ -56,21 +78,16 @@ def make_sharded_training(mesh, num_envs: int, steps: int = 40,
     rollout(carry, w_per_env) -> (carry, returns (B,)), the sharded
     initial carry, and a zero sharded policy batch.
     """
-    import jax.sharding as jsh
-
     from biped_pympc_tpu.parallel import mesh as pmesh
 
-    act_dim = 16 if matrix_residual else ACT_DIM
+    act_dim = ACT_DIM_MATRIX if matrix_residual else ACT_DIM
     env_step, reset_all, rl_obs, core = make_device_env(
         num_envs, solver=solver, plant_mass_scale=plant_mass_scale,
         matrix_residual=matrix_residual)
-    if newton_iterations:
-        core.opts = core.opts._replace(iterations=newton_iterations)
+    _apply_newton_iterations(core, newton_iterations)
     rollout = make_rollout(env_step, rl_obs, steps)
 
-    spec = jsh.PartitionSpec(pmesh.DATA_AXIS)
-    sharded_rollout = jax.jit(pmesh.shard_map_compat(
-        rollout, mesh, (spec, spec), (spec, spec)))
+    sharded_rollout = _shard_rollout(mesh, rollout)
     carry0 = pmesh.shard_state(reset_all(), mesh)
     w0 = jax.device_put(
         jnp.zeros((num_envs, act_dim, OBS_DIM), jnp.float32),
@@ -99,24 +116,19 @@ def train(iters: int = 10, n_dirs: int = 4, envs_per: int = 4,
     """
     rng = np.random.default_rng(seed)
     num_envs = 2 * n_dirs * envs_per
-    act_dim = 16 if matrix_residual else ACT_DIM
+    act_dim = ACT_DIM_MATRIX if matrix_residual else ACT_DIM
     env_kw = dict(solver=solver, plant_mass_scale=plant_mass_scale,
                   matrix_residual=matrix_residual,
                   plant_force_scale=plant_force_scale)
     env_step, reset_all, rl_obs, core = make_device_env(num_envs, **env_kw)
-    if newton_iterations != 20:
-        # Round 5: 10 is the measured closed-loop-viable HECTOR point
-        # (BENCH.md "how many Newton iterations"); mutate before first
-        # trace so every jitted step compiles with the reduced count.
-        core.opts = core.opts._replace(iterations=newton_iterations)
+    # Round 5: 10 is the measured closed-loop-viable HECTOR point
+    # (BENCH.md "how many Newton iterations").
+    _apply_newton_iterations(core, newton_iterations)
     rollout_fn = make_rollout(env_step, rl_obs, steps)
     if mesh is not None:
         from biped_pympc_tpu.parallel import mesh as pmesh
 
-        import jax.sharding as jsh
-        spec = jsh.PartitionSpec(pmesh.DATA_AXIS)
-        rollout = jax.jit(pmesh.shard_map_compat(
-            rollout_fn, mesh, (spec, spec), (spec, spec)))
+        rollout = _shard_rollout(mesh, rollout_fn)
         _shard = lambda t: pmesh.shard_state(t, mesh)
     else:
         rollout = rollout_fn

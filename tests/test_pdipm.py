@@ -417,3 +417,13 @@ def test_df_residual_rejected_on_condensed_backends():
     with pytest.raises(ValueError, match="aug"):
         pp.solve(batch, pdipm.PdipmOptions(
             backend="ric", refine_steps=1, refine_residual="df"), tile=1)
+    # sum_refine refines in its own outer full-KKT loop (plain f32
+    # residuals) — df would be silently ignored there; rejected instead.
+    with pytest.raises(ValueError, match="sum_refine"):
+        pdipm.solve(qp, pdipm.PdipmOptions(
+            backend="ric_aug", refine_steps=1, refine_residual="df",
+            corrector_form="sum_refine"))
+    with pytest.raises(ValueError, match="sum_refine"):
+        pp.solve(batch, pdipm.PdipmOptions(
+            backend="ric_aug", refine_steps=1, refine_residual="df",
+            corrector_form="sum_refine"), tile=1)
