@@ -831,3 +831,47 @@ def test_wrapper_lockstep_parity(ref):
             ours.set_swing_parameters(fh, c1, c2)
         if k % 60 == 17 or k == ticks - 1:
             compare(k)
+
+
+# ---------------------------------------------------------------------------
+# T1: the runnable torch parts (`core/robot/t1.py:140-215` analytic IK)
+# ---------------------------------------------------------------------------
+
+def test_t1_ik_live_parity(ref, monkeypatch):
+    """The reference T1's FK needs unavailable CasADi artifacts, but its
+    batched analytic IK and hip locations are pure torch — instantiate
+    with the FK loader stubbed and compare live. Targets are reachable
+    foot positions generated by OUR chain FK (itself URDF-pinned by
+    tests/test_urdf.py); the parity claim is IK agreement on identical
+    inputs."""
+    t1_mod = importlib.import_module("biped_pympc.core.robot.t1")
+    from biped_pympc_tpu.models import t1 as ours
+
+    monkeypatch.setattr(t1_mod.T1, "initialize_kinematics",
+                        lambda self: None)
+    robot = t1_mod.T1(64, torch.device("cpu"))
+
+    rng = np.random.default_rng(12)
+    lo = np.array([-0.4, -0.25, -0.3, 0.0, -0.7, -0.2], np.float32)
+    hi = np.array([0.4, 0.25, 0.3, 1.2, 0.4, 0.2], np.float32)
+    q = rng.uniform(lo, hi, (64, 6)).astype(np.float32)
+    for leg in (0, 1):
+        targets = _n(jax.vmap(lambda qq: ours.foot_position(qq, leg))(
+            jnp.asarray(q)))
+        want = _n(robot.analytical_IK(_t(targets), leg))
+        got = _n(jax.vmap(lambda pp: ours.analytical_ik(pp, leg))(
+            jnp.asarray(targets)))
+        np.testing.assert_allclose(got, want, atol=5e-5,
+                                   err_msg=f"T1 IK leg {leg}")
+
+    # Hip horizontal locations and PD/torque-limit constants.
+    for leg in (0, 1):
+        want_hip = _n(robot.hip_horizontal_location(leg))[0]
+        got_hip = _n(ours.hip_horizontal_location(leg, jnp.float32))
+        np.testing.assert_allclose(got_hip, want_hip, atol=1e-6)
+    np.testing.assert_allclose(list(ours.KP), robot.pd_conf.kp)
+    np.testing.assert_allclose(list(ours.KD), robot.pd_conf.kd)
+    np.testing.assert_allclose(list(ours.TORQUE_LIMIT),
+                               robot.pd_conf.torque_limit)
+    assert ours.MASS == robot.mass and ours.MU == robot.mu
+    np.testing.assert_allclose(ours.I_BODY, _n(robot.I_body))
