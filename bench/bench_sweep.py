@@ -106,6 +106,8 @@ def main():
         "xla": jax.vmap(lambda q: pdipm.solve(
             q, pdipm.PdipmOptions(backend="ric", refine_steps=1))),
     }
+    # Alias matching the MPCConf.solver spelling of the shipped default.
+    methods["pallas_ric_aug"] = methods["pallas_ricaug_split"]
 
     for batch in [int(b) for b in args.batches.split(",")]:
         if args.randomized:
