@@ -192,7 +192,20 @@ def main():
                     "b4096 = 523k units/s, 100% finite at b32768 "
                     "randomized, NOT robust-accuracy); bare pallas_ric is "
                     "quarantined for randomized domains (0.6-0.7% silent "
-                    "NaNs).",
+                    "NaNs). Round 5 keeps this metric at the reference's "
+                    "20-iteration definition and moves performance where "
+                    "the reference could not: iterations are config, and "
+                    "HECTOR's closed loop is MEASURED viable at 10 of 20 "
+                    "(100% upright, 30 s randomized protocol) — solver "
+                    "24.0 ms at b4096 (2.0x), whole-rollout RL shape "
+                    "1.16M (robust) / 1.50M (hybrid) env-steps/s, "
+                    "on-device training 1.35M (BENCH.md round-5). The "
+                    "randomized f32 accuracy tail is root-caused as "
+                    "non-convergence of the reference's own fixed-"
+                    "iteration rule (even at f64), measured via "
+                    "compensated double-float refinement residuals + "
+                    "trajectory isolation; hybrid counters now observe "
+                    "the finiteness guarantee per solve.",
         },
     }
     # Prints the ONE stdout JSON line the driver parses AND appends it to
